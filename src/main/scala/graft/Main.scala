@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{Encoders, SparkSession}
+
+import graft.model._
+import graft.operators.PageProcessing
+
+/** spark-submit-able entry point for the graft engine.
+  *
+  * Subcommands:
+  *   extract <page.json> [<page.json> ...]  — run the reference-semantics
+  *     mention extraction over nested page documents and print the exploded
+  *     mention rows (SURVEY §2 G1-G3, W2).
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, args: Array[String]): Unit = args.toList match {
+    case "extract" :: paths if paths.nonEmpty =>
+      import spark.implicits._
+      val pages = spark.read
+        .option("multiLine", true)
+        .schema(Encoders.product[Page].schema)
+        .json(paths: _*)
+        .as[Page]
+      val mentions = pages
+        .filter(p => PageProcessing.isValidPage(p))
+        .flatMap(p => PageProcessing.processPage(_ => None, p).mentions)
+      mentions.show(200, truncate = false)
+      println(s"mentions: ${mentions.count()}")
+
+    case other =>
+      System.err.println(s"unknown args: ${other.mkString(" ")}")
+      System.err.println("usage: graft.Main extract <page.json>...")
+      sys.exit(2)
+  }
+}

@@ -1,0 +1,167 @@
+package graft.functions
+
+import java.text.Normalizer
+
+/** Pure scalar text functions — the engine's single source of truth for the
+  * byte-identical text invariants. Each function re-expresses a reference
+  * behavior (file:line cited per function); they run identically on the
+  * driver, in Catalyst expressions, and inside typed transforms, so the
+  * pipeline and the test oracle can never diverge.
+  */
+object TextFunctions {
+
+  /** Remove the literal references tag
+    * (/root/reference/src/data_cleaners.py:10-11). */
+  def dropReferenceTag(s: String): String = s.replace("<references />", "")
+
+  private val TemplateParens1 = """\( *[,;.][^()]* *\)""".r
+  private val TemplateParens2 = """\( *[^()]*[,;] *\)""".r
+
+  /** Remove degenerate template parens
+    * (/root/reference/src/data_cleaners.py:5-8). */
+  def dropTemplateParens(s: String): String = {
+    val once = TemplateParens1.replaceAllIn(s, "")
+    TemplateParens2.replaceAllIn(once, "")
+  }
+
+  /** The cleaning applied to page text, sentence text, and anchor text alike
+    * (/root/reference/src/data_cleaners.py:13-14). Order matters: reference
+    * tag first, then both paren passes. */
+  def cleanPageContent(s: String): String =
+    dropTemplateParens(dropReferenceTag(s))
+
+  /** Uppercase only the first character — NOT `initcap`, which lowercases
+    * the rest (/root/reference/src/process_pages.py:86 `_.upper_first`). */
+  def upperFirst(s: String): String =
+    if (s == null || s.isEmpty) s
+    else s.substring(0, 1).toUpperCase + s.substring(1)
+
+  /** Lowercase only the first character
+    * (/root/reference/src/lookups.py:33 `_.lower_first`). */
+  def lowerFirst(s: String): String =
+    if (s == null || s.isEmpty) s
+    else s.substring(0, 1).toLowerCase + s.substring(1)
+
+  /** Offsets of all non-overlapping occurrences of `toMatch` in `string`,
+    * left to right (/root/reference/src/utils.py:13-25; semantics pinned by
+    * utils_test.py:25-28 — matchAll("pp","apppap") == Seq(1)). */
+  def matchAll(toMatch: String, string: String): Seq[Int] = {
+    if (toMatch == null || toMatch.isEmpty || string == null) return Nil
+    val out = Vector.newBuilder[Int]
+    var from = 0
+    var idx = string.indexOf(toMatch, from)
+    while (idx >= 0) {
+      out += idx
+      from = idx + toMatch.length
+      idx = string.indexOf(toMatch, from)
+    }
+    out.result()
+  }
+
+  /** Count of non-overlapping occurrences (cheap form of [[matchAll]]). */
+  def countOccurrences(toMatch: String, string: String): Int =
+    matchAll(toMatch, string).length
+
+  /** `_`->space title normalization
+    * (/root/reference/src/lookups.py:30-31, db.py:10). */
+  def underscoreToSpace(s: String): String =
+    if (s == null) null else s.replace('_', ' ')
+
+  /** Percent-encoding with the semantics of Python's `urllib.parse.quote`
+    * (/root/reference/src/utils.py:34-35; golden
+    * utils_test.py:35-36 — space -> %20, not '+'). Safe chars are
+    * [A-Za-z0-9_.~-] plus '/', everything else is %XX-encoded per UTF-8
+    * byte with uppercase hex. */
+  def escapeTitle(s: String): String = {
+    if (s == null) return null
+    val sb = new java.lang.StringBuilder(s.length * 3 / 2)
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      val c = b.toChar
+      val safe =
+        (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          (c >= '0' && c <= '9') ||
+          c == '_' || c == '.' || c == '-' || c == '~' || c == '/'
+      if (safe) sb.append(c)
+      else sb.append('%').append(f"$b%02X")
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** ASCII-fold + lowercase + strip: the engine's `clean_entity`
+    * (/root/reference/src/db.py:12-13 `unidecode(entity).lower().strip()`).
+    * Full unidecode is a transliteration table; we implement Latin-range
+    * folding (NFD decomposition + combining-mark strip + a small table for
+    * non-decomposable Latin letters), documented as an approximation — the
+    * synthetic corpus and goldens only exercise this range (SURVEY §7). */
+  def asciiFold(s: String): String = {
+    if (s == null) return null
+    val decomposed = Normalizer.normalize(s, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(decomposed.length)
+    var i = 0
+    while (i < decomposed.length) {
+      val c = decomposed.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) {
+        val mapped: String = c match {
+          case 'ß' => "ss"
+          case 'Æ' => "AE"; case 'æ' => "ae"
+          case 'Œ' => "OE"; case 'œ' => "oe"
+          case 'Ø' => "O"; case 'ø' => "o"
+          case 'Đ' => "D"; case 'đ' => "d"
+          case 'Ð' => "D"; case 'ð' => "d"
+          case 'Þ' => "Th"; case 'þ' => "th"
+          case 'Ł' => "L"; case 'ł' => "l"
+          case 'Ħ' => "H"; case 'ħ' => "h"
+          case 'Ŧ' => "T"; case 'ŧ' => "t"
+          case 'Ŋ' => "NG"; case 'ŋ' => "ng"
+          case 'ĸ' => "k"
+          case 'ı' => "i"
+          case '–' | '—' | '‐' | '‑' => "-"
+          case '’' | '‘' => "'"
+          case '“' | '”' | '„' => "\""
+          case other if other < 128 => other.toString
+          case other => other.toString
+        }
+        sb.append(mapped)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** clean_entity (/root/reference/src/db.py:12-13). */
+  def cleanEntity(entity: String): String =
+    if (entity == null) null else asciiFold(entity).toLowerCase.trim
+
+  private val ImageFlags =
+    Seq(".jpg", ".svg", ".png", ".gif", ".jpeg", ".bmp", ".tiff")
+  private val PageFlags = ImageFlags :+ "(disambiguation)"
+
+  /** Title-level validity flags (/root/reference/src/process_pages.py:12). */
+  def titleHasInvalidFlag(title: String): Boolean = {
+    val lower = title.toLowerCase
+    PageFlags.exists(lower.contains)
+  }
+
+  /** Link-target/anchor image check
+    * (/root/reference/src/process_pages.py:21). */
+  def textHasImageFlag(s: String): Boolean = {
+    val lower = s.toLowerCase
+    ImageFlags.exists(lower.contains)
+  }
+
+  /** Whitespace tokenization used for blocking/shingles — engine-defined
+    * (not a reference port): split on Unicode whitespace, drop empties. */
+  def whitespaceTokens(s: String): Array[String] =
+    if (s == null || s.isEmpty) Array.empty
+    else s.split("\\s+").filter(_.nonEmpty)
+
+  /** Word-ish tokens for similarity features: lowercase alphanumeric runs. */
+  private val WordRun = "[\\p{L}\\p{N}]+".r
+  def wordTokens(s: String): Array[String] =
+    if (s == null) Array.empty
+    else WordRun.findAllIn(s.toLowerCase).toArray
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+
+/** Pins the scalar text functions to the reference's behavior
+  * (/root/reference/test/utils_test.py, data_cleaners_test.py). */
+class TextFunctionsSpec extends AnyFunSuite {
+
+  test("matchAll non-overlapping semantics (utils_test.py:25-28)") {
+    assert(matchAll("p", "apppap") == Seq(1, 2, 3, 5))
+    assert(matchAll("pp", "apppap") == Seq(1))
+    assert(matchAll("p", "a") == Seq())
+  }
+
+  test("escapeTitle matches urllib.parse.quote (utils_test.py:35-36)") {
+    assert(escapeTitle("List of countries and dependencies by population") ==
+      "List%20of%20countries%20and%20dependencies%20by%20population")
+    // unicode golden from iobes_test.py:48
+    assert(escapeTitle("2002–03 NHL season") == "2002%E2%80%9303%20NHL%20season")
+    assert(escapeTitle("a/b_c.d-e~f") == "a/b_c.d-e~f")
+    assert(escapeTitle("a+b&c=d") == "a%2Bb%26c%3Dd")
+  }
+
+  test("cleanPageContent drops template parens + references tag (data_cleaners.py:5-14)") {
+    assert(cleanPageContent("before<references />after") == "beforeafter")
+    assert(cleanPageContent("in ( ; Kaapstad) word") == "in  word")
+    assert(cleanPageContent("x (, abc ) y") == "x  y")
+    assert(cleanPageContent("x (abc; ) y") == "x  y")
+    // balanced non-degenerate parens survive
+    assert(cleanPageContent("x (abc) y") == "x (abc) y")
+  }
+
+  test("upperFirst / lowerFirst do not touch the rest of the string") {
+    assert(upperFirst("some text") == "Some text")
+    assert(upperFirst("FIFA") == "FIFA")
+    assert(upperFirst("wêreld") == "Wêreld")
+    assert(upperFirst("") == "")
+    assert(lowerFirst("Some Text") == "some Text")
+  }
+
+  test("asciiFold + cleanEntity fold Latin diacritics (db.py:12-13 approximation)") {
+    assert(cleanEntity("Wêreldbeker") == "wereldbeker")
+    assert(cleanEntity("  Suid-Afrika ") == "suid-afrika")
+    assert(cleanEntity("Éléphant") == "elephant")
+    assert(cleanEntity("Straße") == "strasse")
+    assert(cleanEntity("Øre") == "ore")
+  }
+
+  test("underscoreToSpace (lookups.py:30-31)") {
+    assert(underscoreToSpace("Fort_de_Goede_Hoop") == "Fort de Goede Hoop")
+  }
+
+  test("validity flags (process_pages.py:9-29)") {
+    assert(titleHasInvalidFlag("Picture.JPG of things"))
+    assert(titleHasInvalidFlag("Foo (disambiguation)"))
+    assert(!titleHasInvalidFlag("Parade"))
+    assert(textHasImageFlag("some .svg link"))
+    assert(!textHasImageFlag("Kaapstad"))
+  }
+
+  test("countOccurrences uses non-overlapping matches") {
+    assert(countOccurrences("aa", "aaaa") == 2)
+  }
+}
