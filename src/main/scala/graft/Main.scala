@@ -40,9 +40,14 @@ object Main {
       mentions.show(200, truncate = false)
       println(s"mentions: ${mentions.count()}")
 
+    case "resolve" :: outDir :: rest =>
+      val nClusters = rest.headOption.map(_.toLong).getOrElse(1000L)
+      println(graft.pipeline.EntityResolution.runAndReport(spark, outDir, nClusters))
+
     case other =>
       System.err.println(s"unknown args: ${other.mkString(" ")}")
-      System.err.println("usage: graft.Main extract <page.json>...")
+      System.err.println(
+        "usage: graft.Main extract <page.json>... | resolve <outDir> [nClusters]")
       sys.exit(2)
   }
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Similarity._
+import graft.operators.Blocking.{CandidatePair, DocFeatures}
+
+/** Batched pairwise scoring over candidate pairs (north rule): Jaro-Winkler
+  * + Levenshtein on normalized titles, TF-IDF cosine + token Jaccard +
+  * MinHash estimate on content, evaluated inside `mapPartitions` so each
+  * task scores its partition's pairs in one tight loop with zero per-row
+  * closure overhead.
+  *
+  * Plan shape: two shuffle joins attach the feature payloads to the
+  * (already pair-hash-salted) candidate pairs; scoring itself is map-only.
+  * Only the columns scoring needs are carried through the joins (column
+  * pruning keeps the shuffled payload minimal).
+  */
+object PairScoring {
+
+  final case class ScoredPair(
+      src: Long,
+      dst: Long,
+      jaroWinkler: Double,
+      levenshteinRatio: Double,
+      cosine: Double,
+      jaccard: Double,
+      minhashSim: Double,
+      isDuplicate: Boolean)
+
+  /** Duplicate decision rule. Content similarity is primary (the labeled
+    * negatives share titles by construction — title similarity alone must
+    * never fire); title agreement lowers the content bar. */
+  def decide(jw: Double, lev: Double, cosine: Double, jaccard: Double): Boolean =
+    cosine >= 0.92 ||
+      (cosine >= 0.80 && jaccard >= 0.50) ||
+      (jw >= 0.93 && cosine >= 0.65)
+
+  def score(
+      spark: SparkSession,
+      pairs: Dataset[CandidatePair],
+      feats: Dataset[DocFeatures]): Dataset[ScoredPair] = {
+    import spark.implicits._
+    val payload = feats.select(
+      col("id"), col("normTitle"), col("tokenHashes"),
+      col("tfKeys"), col("tfWeights"), col("minhash"))
+    val lhs = payload.toDF(
+      "src", "aTitle", "aTokens", "aKeys", "aWeights", "aMinhash")
+    val rhs = payload.toDF(
+      "dst", "bTitle", "bTokens", "bKeys", "bWeights", "bMinhash")
+    pairs.toDF()
+      .join(lhs, "src")
+      .join(rhs, "dst")
+      .as[(Long, Long, String, Array[Long], Array[Long], Array[Double], Array[Long],
+        String, Array[Long], Array[Long], Array[Double], Array[Long])]
+      .mapPartitions { it =>
+        it.map { case (dst, src, aTitle, aTokens, aKeys, aWeights, aMinhash,
+            bTitle, bTokens, bKeys, bWeights, bMinhash) =>
+          val jw = jaroWinkler(aTitle, bTitle)
+          val lev = levenshteinRatio(aTitle, bTitle)
+          val cos = sparseCosine(aKeys, aWeights, bKeys, bWeights)
+          val jac = sortedJaccard(aTokens, bTokens)
+          val mh = minHashSimilarity(aMinhash, bMinhash)
+          ScoredPair(src, dst, jw, lev, cos, jac, mh, decide(jw, lev, cos, jac))
+        }
+      }
+  }
+}

@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HtmlExtract
+import graft.model.{Edge, LabeledPair, WebPage}
+import graft.operators.{Blocking, ConnectedComponents, PairScoring}
+import graft.operators.Blocking.ExtractedDoc
+import graft.sources.{SnapshotStore, WebPagesGen}
+
+/** The end-to-end record-linkage pipeline (north rule):
+  *
+  *   webpages → extract (byte-identical text per url) → features
+  *   (normalize + TF-IDF + MinHash) → blocking keys → candidate pairs
+  *   (stop-block cap + salted repartition) → batched pairwise scoring →
+  *   duplicate edges → large-star/small-star transitive clustering →
+  *   cluster assignments + pairwise-F1 vs labeled pairs.
+  *
+  * Every stage commits a SnapshotStore snapshot (per-partition lineage rows
+  * + counters) and is resumable: rerunning with the same outDir replays
+  * committed stages and recomputes only uncommitted ones.
+  */
+object EntityResolution {
+
+  final case class F1Report(
+      tp: Long, fp: Long, fn: Long,
+      precision: Double, recall: Double, f1: Double)
+
+  /** Extraction stage: recompute text from html (the invariant surface) and
+    * keep (id, url, title, text, lang). Map-only; no shuffle. */
+  def extract(spark: SparkSession, pages: Dataset[WebPage]): Dataset[ExtractedDoc] = {
+    import spark.implicits._
+    pages.map { p =>
+      val html = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
+      ExtractedDoc(
+        id = Blocking.docId(p.url),
+        url = p.url,
+        title = HtmlExtract.extractTitle(html),
+        text = HtmlExtract.extractText(html),
+        lang = p.lang)
+    }
+  }
+
+  /** Run all stages against an existing webpages table. Returns the cluster
+    * assignment table (url, id, cluster). */
+  def resolve(spark: SparkSession, store: SnapshotStore, pages: Dataset[WebPage]): DataFrame = {
+    import spark.implicits._
+    val extracted = store.getOrCreate("extracted")(extract(spark, pages).toDF())
+      .as[ExtractedDoc]
+    val feats = store.getOrCreate("features")(
+      Blocking.features(spark, extracted).toDF())
+      .as[Blocking.DocFeatures]
+    val blocks = store.getOrCreate("blocks")(
+      Blocking.blockEntries(spark, feats).toDF())
+      .as[Blocking.BlockEntry]
+    val pairs = store.getOrCreate("pairs") {
+      val (p, dropped) = Blocking.candidatePairs(spark, blocks)
+      if (dropped > 0)
+        System.err.println(s"[graft] dropped $dropped hot blocks over cap")
+      p.toDF()
+    }.as[Blocking.CandidatePair]
+    val scored = store.getOrCreate("scored")(
+      PairScoring.score(spark, pairs, feats).toDF())
+    val edges = scored.where(col("isDuplicate"))
+      .select(col("src"), col("dst")).as[Edge]
+    val assignments = store.getOrCreate("clusters") {
+      val vertices = feats.select(col("id"))
+      val assigned = ConnectedComponents.assign(spark, edges, vertices)
+      feats.select(col("id"), col("url"))
+        .join(assigned, "id")
+        .select(col("url"), col("id"), col("comp").as("cluster"))
+    }
+    assignments
+  }
+
+  /** Pairwise F1 of predicted same-cluster vs labeled pairs (the metric in
+    * BASELINE.json): a labeled pair is predicted duplicate iff both urls
+    * land in the same cluster. */
+  def pairwiseF1(
+      spark: SparkSession,
+      assignments: DataFrame,
+      labeled: Dataset[LabeledPair]): F1Report = {
+    val a = assignments.select(col("url").as("url_a"), col("cluster").as("cluster_a"))
+    val b = assignments.select(col("url").as("url_b"), col("cluster").as("cluster_b"))
+    val joined = labeled.toDF().join(a, "url_a").join(b, "url_b")
+      .withColumn("predicted", col("cluster_a") === col("cluster_b"))
+    val counts = joined.agg(
+      sum(when(col("predicted") && col("is_duplicate"), 1).otherwise(0)).as("tp"),
+      sum(when(col("predicted") && !col("is_duplicate"), 1).otherwise(0)).as("fp"),
+      sum(when(!col("predicted") && col("is_duplicate"), 1).otherwise(0)).as("fn"))
+      .head()
+    val tp = counts.getLong(0); val fp = counts.getLong(1); val fn = counts.getLong(2)
+    val precision = if (tp + fp == 0) 1.0 else tp.toDouble / (tp + fp)
+    val recall = if (tp + fn == 0) 1.0 else tp.toDouble / (tp + fn)
+    val f1 =
+      if (precision + recall == 0) 0.0
+      else 2 * precision * recall / (precision + recall)
+    F1Report(tp, fp, fn, precision, recall, f1)
+  }
+
+  /** Generate the corpus, run the pipeline, evaluate F1, return a one-line
+    * JSON report. `nClusters` clusters ≈ 2.05 docs each. */
+  def runAndReport(spark: SparkSession, outDir: String, nClusters: Long): String = {
+    import spark.implicits._
+    val store = new SnapshotStore(spark, outDir)
+    val t0 = System.nanoTime()
+    val pages = store.getOrCreate("webpages")(
+      WebPagesGen.webpages(spark, nClusters).toDF()).as[WebPage]
+    val labeled = store.getOrCreate("labeled_pairs")(
+      WebPagesGen.labeledPairs(spark, nClusters).toDF()).as[LabeledPair]
+    val assignments = resolve(spark, store, pages)
+    val nDocs = assignments.count()
+    val report = pairwiseF1(spark, assignments, labeled)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val docsPerSec = nDocs / elapsed
+    f"""{"docs":$nDocs,"clusters":$nClusters,"tp":${report.tp},"fp":${report.fp},"fn":${report.fn},""" +
+      f""""precision":${report.precision}%.6f,"recall":${report.recall}%.6f,"f1":${report.f1}%.6f,""" +
+      f""""elapsedSec":$elapsed%.3f,"docsPerSec":$docsPerSec%.1f}"""
+  }
+}
