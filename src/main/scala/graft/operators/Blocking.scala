@@ -53,46 +53,86 @@ object Blocking {
   def tokenHashesOf(text: String): Array[Long] =
     TextFunctions.wordTokens(TextFunctions.asciiFold(text)).map(hashString)
 
-  /** TF-IDF sparse vectors, fully distributed (no driver collect):
-    * tf by (id, token) -> df by token -> weighted vector by id. */
-  def tfidfVectors(spark: SparkSession, tokens: Dataset[(Long, Array[Long])]): DataFrame = {
-    import spark.implicits._
-    val exploded = tokens.flatMap { case (id, ths) => ths.map(t => (id, t)) }
-      .toDF("id", "token")
-    val tf = exploded.groupBy("id", "token").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val n = tokens.count().toDouble
-    tf.join(dfreq, "token")
-      .withColumn("w", col("tf") * log(lit(n + 1.0) / (col("df") + 1.0)))
-      .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("token"), col("w")))).as("kv"))
-      .select(
-        col("id"),
-        col("kv.token").as("tfKeys"),
-        col("kv.w").as("tfWeights"))
-  }
+  /** Per-doc tokenization + sketches, with term frequencies kept LOCAL to
+    * the row (tf needs no shuffle — it is a per-document statistic).
+    * Public: Spark's encoder codegen must be able to construct it. */
+  final case class PerDoc(
+      id: Long, url: String, normTitle: String,
+      tokenHashes: Array[Long], // sorted distinct
+      tfCounts: Array[Double], // parallel to tokenHashes
+      minhash: Array[Long], simhash: Long, numTokens: Int)
 
-  /** Full feature table from extracted docs. */
-  def features(spark: SparkSession, docs: Dataset[ExtractedDoc]): Dataset[DocFeatures] = {
+  /** Full feature table from extracted docs.
+    *
+    * TF-IDF layout for scale: term frequency is computed inside the per-doc
+    * map (zero shuffle); document frequency is ONE partial-aggregated
+    * groupBy over distinct per-doc tokens, truncated to the `maxDfTokens`
+    * most frequent tokens and broadcast. Tokens outside the broadcast are
+    * by construction the RAREST ones and take the df=1 default — the same
+    * weight a full join would give them up to the truncation, which only
+    * engages when corpus vocabulary exceeds the broadcast budget. This
+    * replaces a 3-shuffle join+regroup cascade (measured 55s of a 70s
+    * feature stage at 56k docs) with one small shuffle plus map-only
+    * weighting. */
+  def features(
+      spark: SparkSession,
+      docs: Dataset[ExtractedDoc],
+      maxDfTokens: Int = 1 << 22): Dataset[DocFeatures] = {
     import spark.implicits._
     val perDoc = docs.map { d =>
       val raw = tokenHashesOf(d.text)
       val shingles = Similarity.shingleHashes(
         TextFunctions.wordTokens(TextFunctions.asciiFold(d.text)), ShingleSize)
-      (d.id, d.url, TextFunctions.cleanEntity(d.title), raw.distinct.sorted,
+      val sorted = raw.sorted
+      // run-length encode the sorted stream into (distinct, count) arrays
+      val distinctB = Array.newBuilder[Long]
+      val countB = Array.newBuilder[Double]
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j < sorted.length && sorted(j) == sorted(i)) j += 1
+        distinctB += sorted(i)
+        countB += (j - i).toDouble
+        i = j
+      }
+      PerDoc(d.id, d.url, TextFunctions.cleanEntity(d.title),
+        distinctB.result(), countB.result(),
         Similarity.minHashSignature(shingles, NumMinHashes),
-        Similarity.simHash(raw), raw.length, raw)
-    }.toDF("id", "url", "normTitle", "tokenHashes", "minhash", "simhash", "numTokens", "rawTokens")
-    val vecs = tfidfVectors(spark, perDoc.select(col("id"), col("rawTokens"))
-      .as[(Long, Array[Long])])
-    perDoc.drop("rawTokens")
-      .join(vecs, Seq("id"), "left")
-      .select(
-        col("id"), col("url"), col("normTitle"), col("tokenHashes"),
-        coalesce(col("tfKeys"), array().cast("array<bigint>")).as("tfKeys"),
-        coalesce(col("tfWeights"), array().cast("array<double>")).as("tfWeights"),
-        col("minhash"), col("simhash"), col("numTokens"))
-      .as[DocFeatures]
+        Similarity.simHash(raw), raw.length)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = perDoc.count().toDouble
+
+    // document frequency over distinct per-doc tokens: one shuffle, then
+    // top-K by frequency to bound the broadcast
+    val dfRows = perDoc.select(explode(col("tokenHashes")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(maxDfTokens)
+      .collect()
+    val dfTokens = new Array[Long](dfRows.length)
+    val dfCounts = new Array[Double](dfRows.length)
+    dfRows.zipWithIndex.foreach { case (r, i) =>
+      dfTokens(i) = r.getLong(0); dfCounts(i) = r.getLong(1).toDouble
+    }
+    // sort by token for binary search
+    val order = dfTokens.indices.sortBy(dfTokens)
+    val sortedTokens = order.map(dfTokens).toArray
+    val sortedDfs = order.map(dfCounts).toArray
+    val dfB = spark.sparkContext.broadcast((sortedTokens, sortedDfs))
+
+    perDoc.map { p =>
+      val (toks, dfs) = dfB.value
+      val weights = new Array[Double](p.tokenHashes.length)
+      var i = 0
+      while (i < p.tokenHashes.length) {
+        val idx = java.util.Arrays.binarySearch(toks, p.tokenHashes(i))
+        val df = if (idx >= 0) dfs(idx) else 1.0
+        weights(i) = p.tfCounts(i) * math.log((n + 1.0) / (df + 1.0))
+        i += 1
+      }
+      DocFeatures(p.id, p.url, p.normTitle, p.tokenHashes,
+        p.tokenHashes, weights, p.minhash, p.simhash, p.numTokens)
+    }
   }
 
   /** Blocking keys per doc: title key + LSH band keys. */
@@ -118,6 +158,7 @@ object Blocking {
       maxBlockSize: Int = DefaultMaxBlockSize): (Dataset[CandidatePair], Long) = {
     import spark.implicits._
     val sizes = entries.groupBy("key").agg(count(lit(1)).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hotBlocks = sizes.where(col("sz") > maxBlockSize).count()
     val eligible = entries.join(
       sizes.where(col("sz") >= 2 && col("sz") <= maxBlockSize), "key")

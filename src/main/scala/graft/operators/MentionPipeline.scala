@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.model.{Page, ProcessedPage}
+
+/** Dataset-level wrappers around the pure per-page processing: the
+  * reference's batch loop becomes partition parallelism, its point lookups
+  * become joins (SURVEY §3.1).
+  */
+object MentionPipeline {
+
+  /** Process a batch of pages (validity filter + per-page extraction). The
+    * redirects lookup ships as a broadcast map — the Spark-native form of
+    * the reference's driver-side dict (/root/reference/src/lookups.py:27-34);
+    * at web scale this becomes a real join (SURVEY §1.3). */
+  def processPages(
+      spark: SparkSession,
+      pages: Dataset[Page],
+      redirects: Map[String, String],
+      isSeedPage: Boolean = false): Dataset[ProcessedPage] = {
+    import spark.implicits._
+    val redirectsB = spark.sparkContext.broadcast(redirects)
+    pages
+      .filter((p: Page) => PageProcessing.isValidPage(p))
+      .map((p: Page) =>
+        PageProcessing.processPage(redirectsB.value.get _, p, isSeedPage))
+  }
+
+  /** X1 BFS link-graph expansion
+    * (/root/reference/src/process_pages.py:50-70): seeds -> outlinks ->
+    * fetch-unvisited -> process, `depth` layers. The frontier set-minus is
+    * a distributed except; page fetch is a semi join against the corpus
+    * (S3: batch point-lookups become a join). Each layer localCheckpoints
+    * to keep the plan O(1) in depth. */
+  def processSeedPages(
+      spark: SparkSession,
+      corpus: Dataset[Page],
+      redirects: Map[String, String],
+      seeds: Dataset[Page],
+      depth: Int): Dataset[ProcessedPage] = {
+    import spark.implicits._
+    var processed = processPages(spark, seeds, redirects, isSeedPage = true)
+      .localCheckpoint()
+    var latest = processed
+    var visited = processed.map(_.documentInfo.title).distinct().localCheckpoint()
+    for (_ <- 0 until depth) {
+      val referenced = latest.flatMap(_.entities).distinct()
+      val toFetch = referenced.except(visited)
+      val fetched = corpus
+        .join(toFetch, corpus("title") === toFetch("value"), "left_semi")
+        .as[Page]
+      latest = processPages(spark, fetched, redirects).localCheckpoint()
+      processed = processed.union(latest).localCheckpoint()
+      visited = visited.union(referenced).distinct().localCheckpoint()
+    }
+    processed
+  }
+}

@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Stage-by-stage wall-time profile of the ER pipeline (each stage forced
+  * with a count) — the measurement loop behind the partitioning/scaling
+  * decisions recorded in BASELINE.md. Usage:
+  *   runMain graft.tools.Profile <cores> <nClusters>
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val cores = args.headOption.getOrElse("16").toInt
+    val nClusters = args.lift(1).getOrElse("30000").toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val pages = graft.sources.WebPagesGen.webpages(spark, nClusters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("generate")(pages.count())
+    val extracted = graft.pipeline.EntityResolution.extract(spark, pages)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("extract")(extracted.count())
+    val feats = time("features") {
+      val f = graft.operators.Blocking.features(spark, extracted)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      f.count()
+      f
+    }
+    val blocks = time("blocks") {
+      val b = graft.operators.Blocking.blockEntries(spark, feats)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      b.count()
+      b
+    }
+    val pairs = time("pairs") {
+      val (p, _) = graft.operators.Blocking.candidatePairs(spark, blocks)
+      val pp = p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[profile] numPairs=${pp.count()}")
+      pp
+    }
+    val scored = time("score") {
+      val sc = graft.operators.PairScoring.score(spark, pairs, feats)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sc.count()
+      sc
+    }
+    time("cluster") {
+      val edges = scored.where(col("isDuplicate"))
+        .select(col("src"), col("dst")).as[graft.model.Edge]
+      graft.operators.ConnectedComponents.assign(spark, edges, feats.select(col("id"))).count()
+    }
+    spark.stop()
+  }
+}

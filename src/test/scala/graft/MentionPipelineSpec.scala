@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Page
+import graft.operators.{EntityPrior, IobesExport, MentionPipeline}
+
+/** Dataset-level lifecycle tests: BFS golden
+  * (process_pages_test.py:116-145), the prior counts, and the one-join
+  * IOBES export job. */
+class MentionPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private lazy val corpusPages: Seq[Page] = Seq(
+    "made.json", "koning.json", "tweede.json", "parade_small_page.json")
+    .map(Fixtures.parsePage)
+
+  test("BFS depth 0/1/2 over the 4-page fixture corpus (process_pages_test.py:116-145)") {
+    import spark.implicits._
+    val corpus = spark.createDataset(corpusPages)
+    val seeds = spark.createDataset(corpusPages.filter(_.title == "Parade"))
+    def titlesAt(depth: Int): Set[String] =
+      MentionPipeline.processSeedPages(spark, corpus, Map.empty, seeds, depth)
+        .collect().map(_.documentInfo.title).toSet
+    assert(titlesAt(0) == Set("Parade"))
+    assert(titlesAt(1) == Set("Parade", "Tweede Vryheidsoorlog", "Koning Edward VII-standbeeld"))
+    assert(titlesAt(2) == Set("Parade", "Tweede Vryheidsoorlog",
+      "Koning Edward VII-standbeeld", "Made up page"))
+  }
+
+  test("candidate prior: three passes union into (surface, entity, cnt)") {
+    import spark.implicits._
+    val mentions = Seq(
+      // page 1 (train or not depends on hash rank; use fraction 1.0 first)
+      (1L, "big apple", "New York City", "NYC"),
+      (1L, "NYC", "New York City", "NYC"),
+      (2L, "NYC", "New York City", "New york"),
+      (2L, "paris", "Paris", "Paris"))
+      .toDF("page_id", "mention_text", "entity", "preredirect")
+    val prior = EntityPrior.candidatePrior(spark, mentions, trainFraction = 1.0)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(prior == Set(
+      ("big apple", "New York City", 1L),
+      ("NYC", "New York City", 3L), // 2 anchors + 1 distinct preredirect pair
+      ("New york", "New York City", 1L),
+      ("New York City", "New York City", 1L),
+      ("paris", "Paris", 1L),
+      ("Paris", "Paris", 2L))) // own text + preredirect
+  }
+
+  test("train fraction filters pages deterministically") {
+    import spark.implicits._
+    val mentions = (1L to 10L).map(p => (p, s"m$p", s"e$p", s"r$p"))
+      .toDF("page_id", "mention_text", "entity", "preredirect")
+    val full = EntityPrior.candidatePrior(spark, mentions, 1.0)
+    val train = EntityPrior.candidatePrior(spark, mentions, 0.5)
+    // pass-1 rows shrink with the split; passes 2-3 are split-independent
+    assert(train.count() < full.count())
+    val again = EntityPrior.candidatePrior(spark, mentions, 0.5)
+    assert(train.collect().toSet == again.collect().toSet)
+  }
+
+  test("IOBES export: one join + per-page group reproduces the golden") {
+    import spark.implicits._
+    val db = Fixtures.readTree("parade_page_db.json")
+    val content = db.get("content").asText
+    val contexts = Fixtures.parseContexts("parade_page_contexts.json")
+    val pages = Seq((1L, "Parade", content)).toDF("page_id", "title", "content")
+    val mentions = contexts.flatMap { case (entity, ms) =>
+      ms.map(m => (1L, entity, m.text, m.offset, m.preredirect))
+    }.toDF("page_id", "entity", "mention_text", "offset", "preredirect")
+    val rows = IobesExport.pageIobesRows(spark, pages, mentions).collect()
+    assert(rows.length == 1)
+    val (title, text) = rows.head
+    assert(title == "Parade")
+    assert(text.startsWith("Parade\nduimnael|480px|'n O\nPanoramiese O"))
+    assert(text.contains("Mandela Nelson%20Mandela E"))
+    // merged sink: single batch contains the page + separator semantics
+    val merged = IobesExport.mergedBatches(
+      spark.createDataset(Seq(("A", "a-text"), ("B", "b-text"))), 1)
+      .collect().map(_.getString(0))
+    assert(merged.length == 1)
+    assert(merged.head.contains("----------.----------"))
+  }
+}
