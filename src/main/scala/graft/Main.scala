@@ -64,6 +64,23 @@ object Main {
       rows.foreach { case (_, text) => println(text + "\n") }
       println(s"pages tagged: ${rows.length}")
 
+    case "schema" :: paths if paths.nonEmpty =>
+      // nested page docs -> star schema tables + views (SURVEY §1.2)
+      import spark.implicits._
+      val pages = spark.read
+        .option("multiLine", true)
+        .schema(Encoders.product[Page].schema)
+        .json(paths: _*)
+        .as[Page]
+      val processed = graft.operators.MentionPipeline
+        .processPages(spark, pages, Map.empty)
+      val t = graft.operators.ElSchema.build(spark, processed, "wikipedia")
+      println(s"pages=${t.pages.count()} categories=${t.categories.count()} " +
+        s"page_categories=${t.pageCategories.count()} entities=${t.entities.count()} " +
+        s"mentions=${t.mentions.count()} entity_mentions=${t.entityMentions.count()}")
+      graft.operators.ElSchema.mentionByEntity(t)
+        .orderBy("page_id", "offset").show(10, truncate = false)
+
     case "resolve" :: outDir :: rest =>
       val nClusters = rest.headOption.map(_.toLong).getOrElse(1000L)
       println(graft.pipeline.EntityResolution.runAndReport(spark, outDir, nClusters))
