@@ -23,6 +23,7 @@ object Bench {
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new graft.functions.expressions.GraftExtensions)
       .appName(s"graft-bench-$cores")
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -41,8 +42,9 @@ object Bench {
     val t0 = System.nanoTime()
     val pages = graft.sources.WebPagesGen.webpages(spark, nClusters)
     val extracted = graft.pipeline.EntityResolution.extract(spark, pages)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val feats = graft.operators.Blocking.features(spark, extracted)
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = graft.operators.Blocking.blockEntries(spark, feats)
     val (pairs, _) = graft.operators.Blocking.candidatePairs(spark, blocks)
     val scored = graft.operators.PairScoring.score(spark, pairs, feats)
@@ -52,6 +54,7 @@ object Bench {
       spark, edges, feats.select(col("id")))
     val docs = assigned.count()
     feats.unpersist()
+    extracted.unpersist()
     (docs, (System.nanoTime() - t0) / 1e9)
   }
 

@@ -15,6 +15,7 @@ import graft.operators.PageProcessing
 object Main {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.expressions.GraftExtensions)
       .appName("graft")
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions",

@@ -469,6 +469,54 @@ object Queries {
       |JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source
       |ORDER BY src_a, src_b""".stripMargin
 
+  // ------------------------------------------------- native expressions
+  /** P8 ASCII-fold as a native codegen Expression (registered via
+    * GraftExtensions); oracle = DuckDB strip_accents on the same
+    * fold-range input. */
+  private val q31: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        expr("graft_ascii_fold(concat(source, ' Wêreldé-ü ö í à'))").as("folded"))
+      .orderBy("doc_id")
+
+  private val q31Sql =
+    """SELECT doc_id, strip_accents(concat(source, ' Wêreldé-ü ö í à')) AS folded
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** P9 percent-encode as a native Expression; oracle = handcrafted
+    * replace chain over the known input charset. */
+  private val q32: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        expr("graft_escape_title(concat(source, ' one/two+three'))").as("escaped"))
+      .orderBy("doc_id")
+
+  private val q32Sql =
+    """SELECT doc_id,
+      |  replace(replace(concat(source, ' one/two+three'), ' ', '%20'), '+', '%2B') AS escaped
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Jaro-Winkler as a native binary Expression vs DuckDB's builtin. */
+  private val q33: Q = (s, d) => {
+    val src = t(s, d, "documents").select("source").distinct()
+    val a = src.select(col("source").as("src_a"))
+    val b = src.select(col("source").as("src_b"))
+    a.crossJoin(b).where(col("src_a") < col("src_b"))
+      .select(
+        col("src_a"), col("src_b"),
+        expr("round(graft_jaro_winkler(src_a, src_b), 6)").as("jw"))
+      .orderBy("src_a", "src_b")
+  }
+
+  private val q33Sql =
+    """SELECT a.source AS src_a, b.source AS src_b,
+      |  round(jaro_winkler_similarity(a.source, b.source), 6) AS jw
+      |FROM (SELECT DISTINCT source FROM documents) a
+      |JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source
+      |ORDER BY src_a, src_b""".stripMargin
+
   // ------------------------------------------------------- rows-only set
   /** MinHash-LSH near-dup candidate blocks over documents (engine hashes —
     * no SQL oracle; driver does a rows-only check). */
@@ -571,7 +619,10 @@ object Queries {
     "q27_minhash_blocks" -> q27,
     "q28_simhash" -> q28,
     "q29_er_clusters" -> q29,
-    "q30_multimodal_stub" -> q30)
+    "q30_multimodal_stub" -> q30,
+    "q31_ascii_fold_expr" -> q31,
+    "q32_escape_title_expr" -> q32,
+    "q33_jaro_winkler_expr" -> q33)
 
   val oracles: Map[String, String] = Map(
     "q01_group_agg" -> q01Sql,
@@ -599,5 +650,8 @@ object Queries {
     "q23_embed_norm" -> q23Sql,
     "q24_embed_knn" -> q24Sql,
     "q25_ngram_jaccard" -> q25Sql,
-    "q26_levenshtein" -> q26Sql)
+    "q26_levenshtein" -> q26Sql,
+    "q31_ascii_fold_expr" -> q31Sql,
+    "q32_escape_title_expr" -> q32Sql,
+    "q33_jaro_winkler_expr" -> q33Sql)
 }

@@ -53,15 +53,6 @@ object Blocking {
   def tokenHashesOf(text: String): Array[Long] =
     TextFunctions.wordTokens(TextFunctions.asciiFold(text)).map(hashString)
 
-  /** Per-doc tokenization + sketches, with term frequencies kept LOCAL to
-    * the row (tf needs no shuffle — it is a per-document statistic).
-    * Public: Spark's encoder codegen must be able to construct it. */
-  final case class PerDoc(
-      id: Long, url: String, normTitle: String,
-      tokenHashes: Array[Long], // sorted distinct
-      tfCounts: Array[Double], // parallel to tokenHashes
-      minhash: Array[Long], simhash: Long, numTokens: Int)
-
   /** Full feature table from extracted docs.
     *
     * TF-IDF layout for scale: term frequency is computed inside the per-doc
@@ -73,38 +64,21 @@ object Blocking {
     * engages when corpus vocabulary exceeds the broadcast budget. This
     * replaces a 3-shuffle join+regroup cascade (measured 55s of a 70s
     * feature stage at 56k docs) with one small shuffle plus map-only
-    * weighting. */
+    * weighting.
+    *
+    * `docs` is scanned twice (a cheap tokenize-only df pass, then the full
+    * sketching pass) — callers should hand in a cached or snapshot-backed
+    * Dataset; nothing is persisted internally. */
   def features(
       spark: SparkSession,
       docs: Dataset[ExtractedDoc],
       maxDfTokens: Int = 1 << 22): Dataset[DocFeatures] = {
     import spark.implicits._
-    val perDoc = docs.map { d =>
-      val raw = tokenHashesOf(d.text)
-      val shingles = Similarity.shingleHashes(
-        TextFunctions.wordTokens(TextFunctions.asciiFold(d.text)), ShingleSize)
-      val sorted = raw.sorted
-      // run-length encode the sorted stream into (distinct, count) arrays
-      val distinctB = Array.newBuilder[Long]
-      val countB = Array.newBuilder[Double]
-      var i = 0
-      while (i < sorted.length) {
-        var j = i
-        while (j < sorted.length && sorted(j) == sorted(i)) j += 1
-        distinctB += sorted(i)
-        countB += (j - i).toDouble
-        i = j
-      }
-      PerDoc(d.id, d.url, TextFunctions.cleanEntity(d.title),
-        distinctB.result(), countB.result(),
-        Similarity.minHashSignature(shingles, NumMinHashes),
-        Similarity.simHash(raw), raw.length)
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = perDoc.count().toDouble
+    val n = docs.count().toDouble
 
     // document frequency over distinct per-doc tokens: one shuffle, then
     // top-K by frequency to bound the broadcast
-    val dfRows = perDoc.select(explode(col("tokenHashes")).as("token"))
+    val dfRows = docs.flatMap(d => tokenHashesOf(d.text).distinct).toDF("token")
       .groupBy("token").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("token"))
       .limit(maxDfTokens)
@@ -120,18 +94,37 @@ object Blocking {
     val sortedDfs = order.map(dfCounts).toArray
     val dfB = spark.sparkContext.broadcast((sortedTokens, sortedDfs))
 
-    perDoc.map { p =>
-      val (toks, dfs) = dfB.value
-      val weights = new Array[Double](p.tokenHashes.length)
+    docs.map { d =>
+      val raw = tokenHashesOf(d.text)
+      val shingles = Similarity.shingleHashes(
+        TextFunctions.wordTokens(TextFunctions.asciiFold(d.text)), ShingleSize)
+      val sorted = raw.sorted
+      // run-length encode the sorted stream into (distinct, count) arrays
+      val distinctB = Array.newBuilder[Long]
+      val countB = Array.newBuilder[Double]
       var i = 0
-      while (i < p.tokenHashes.length) {
-        val idx = java.util.Arrays.binarySearch(toks, p.tokenHashes(i))
+      while (i < sorted.length) {
+        var j = i
+        while (j < sorted.length && sorted(j) == sorted(i)) j += 1
+        distinctB += sorted(i)
+        countB += (j - i).toDouble
+        i = j
+      }
+      val tokenHashes = distinctB.result()
+      val tfCounts = countB.result()
+      val (toks, dfs) = dfB.value
+      val weights = new Array[Double](tokenHashes.length)
+      i = 0
+      while (i < tokenHashes.length) {
+        val idx = java.util.Arrays.binarySearch(toks, tokenHashes(i))
         val df = if (idx >= 0) dfs(idx) else 1.0
-        weights(i) = p.tfCounts(i) * math.log((n + 1.0) / (df + 1.0))
+        weights(i) = tfCounts(i) * math.log((n + 1.0) / (df + 1.0))
         i += 1
       }
-      DocFeatures(p.id, p.url, p.normTitle, p.tokenHashes,
-        p.tokenHashes, weights, p.minhash, p.simhash, p.numTokens)
+      DocFeatures(d.id, d.url, TextFunctions.cleanEntity(d.title), tokenHashes,
+        tokenHashes, weights,
+        Similarity.minHashSignature(shingles, NumMinHashes),
+        Similarity.simHash(raw), raw.length)
     }
   }
 

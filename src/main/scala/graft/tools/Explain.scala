@@ -11,6 +11,7 @@ object Explain {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.tail.toSeq else graft.Queries.all.keys.toSeq.sorted
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.expressions.GraftExtensions)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")

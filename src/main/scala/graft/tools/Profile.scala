@@ -13,6 +13,7 @@ object Profile {
     val cores = args.headOption.getOrElse("16").toInt
     val nClusters = args.lift(1).getOrElse("30000").toLong
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.expressions.GraftExtensions)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.ui.enabled", "false")
