@@ -567,6 +567,20 @@ object Queries {
       .orderBy("url")
   }
 
+  /** LSH-bucketed approximate nearest neighbors (the ANN scale path;
+    * engine hashes — rows-only): top-3 per query over the embeddings
+    * table, queries = first 20 vectors. */
+  private val q34: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.SimilaritySearch
+    import graft.operators.SimilaritySearch.EmbeddingRow
+    val emb = t(s, d, "embeddings")
+      .selectExpr("vec_id AS id", "embedding AS vec").as[EmbeddingRow]
+    val queries = emb.filter((r: EmbeddingRow) => r.id < 20)
+    SimilaritySearch.lshTopK(s, queries, emb, 3)
+      .orderBy("qid", "rnk")
+  }
+
   /** Multimodal plumbing: opaque binary column + typed metadata + a
     * clearly-stubbed deterministic "decode" (no media libs in-container);
     * the Spark-side schema/partitioning/batch shape is real (rows-only). */
@@ -622,7 +636,8 @@ object Queries {
     "q30_multimodal_stub" -> q30,
     "q31_ascii_fold_expr" -> q31,
     "q32_escape_title_expr" -> q32,
-    "q33_jaro_winkler_expr" -> q33)
+    "q33_jaro_winkler_expr" -> q33,
+    "q34_ann_lsh" -> q34)
 
   val oracles: Map[String, String] = Map(
     "q01_group_agg" -> q01Sql,

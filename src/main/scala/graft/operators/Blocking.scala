@@ -140,19 +140,21 @@ object Blocking {
   }
 
   /** Candidate pairs from block co-membership with stop-block removal.
-    * Returns (pairs, droppedHotBlocks). Pair generation streams out of
-    * `flatMapGroups` lazily; within-block work is O(|block|²) bounded by
-    * `maxBlockSize`. Pairs are de-duplicated across keys (one scoring per
-    * pair regardless of how many keys co-locate it) and salted-repartitioned
-    * by pair hash so the scoring stage is skew-free by construction. */
+    * Returns (pairs, droppedHotBlocks-thunk — forcing it costs one extra
+    * job, so callers that don't report it pay nothing). Pair generation
+    * streams out of `flatMapGroups` lazily; within-block work is
+    * O(|block|²) bounded by `maxBlockSize`. Pairs are de-duplicated across
+    * keys (one scoring per pair regardless of how many keys co-locate it)
+    * and salted-repartitioned by pair hash so the scoring stage is
+    * skew-free by construction. */
   def candidatePairs(
       spark: SparkSession,
       entries: Dataset[BlockEntry],
-      maxBlockSize: Int = DefaultMaxBlockSize): (Dataset[CandidatePair], Long) = {
+      maxBlockSize: Int = DefaultMaxBlockSize): (Dataset[CandidatePair], () => Long) = {
     import spark.implicits._
     val sizes = entries.groupBy("key").agg(count(lit(1)).as("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hotBlocks = sizes.where(col("sz") > maxBlockSize).count()
+    val hotBlocks = () => sizes.where(col("sz") > maxBlockSize).count()
     val eligible = entries.join(
       sizes.where(col("sz") >= 2 && col("sz") <= maxBlockSize), "key")
       .select(col("key"), col("id")).as[BlockEntry]

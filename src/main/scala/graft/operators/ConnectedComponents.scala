@@ -68,16 +68,20 @@ object ConnectedComponents {
       edges: Dataset[Edge],
       allVertices: DataFrame, // single column "id"
       maxIterations: Int = 30): DataFrame = {
+    // non-eager checkpoints: the fingerprint action materializes the
+    // round's checkpoint AND computes the convergence stats in ONE job
+    // (an eager checkpoint + separate agg doubles the per-round job count,
+    // which is pure scheduling latency at any scale)
     var e: DataFrame = edges.toDF()
       .where(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var prev = (-1L, 0L)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
-      e = smallStar(largeStar(e)).localCheckpoint()
+      e = smallStar(largeStar(e)).localCheckpoint(eager = false)
       val fp = fingerprint(e)
       converged = fp == prev
       prev = fp

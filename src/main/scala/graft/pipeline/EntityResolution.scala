@@ -56,8 +56,9 @@ object EntityResolution {
       .as[Blocking.BlockEntry]
     val pairs = store.getOrCreate("pairs") {
       val (p, dropped) = Blocking.candidatePairs(spark, blocks)
-      if (dropped > 0)
-        System.err.println(s"[graft] dropped $dropped hot blocks over cap")
+      val nDropped = dropped()
+      if (nDropped > 0)
+        System.err.println(s"[graft] dropped $nDropped hot blocks over cap")
       p.toDF()
     }.as[Blocking.CandidatePair]
     val scored = store.getOrCreate("scored")(
