@@ -581,26 +581,19 @@ object Queries {
       .orderBy("qid", "rnk")
   }
 
-  /** Multimodal plumbing: opaque binary column + typed metadata + a
-    * clearly-stubbed deterministic "decode" (no media libs in-container);
-    * the Spark-side schema/partitioning/batch shape is real (rows-only). */
+  /** Multimodal plumbing: opaque binary columns + typed metadata through
+    * the batched Multimodal operator (decode is a marked stub — no media
+    * libs in-container; schema/partitioning/batch shape real; rows-only). */
   private val q30: Q = (s, _) => {
     import s.implicits._
-    val pages = graft.sources.WebPagesGen.webpages(s, 200)
-    pages.mapPartitions { it =>
-      it.map { p =>
-        val bytes = p.html
-        // STUB decode: a real deployment decodes media here (e.g. image
-        // dims via a codec); the container has no media libs, so derive
-        // deterministic fake dims from the content hash instead.
-        val h = Hashing.hash64(bytes.length.toLong,
-          if (bytes.nonEmpty) bytes(0).toLong else 0L)
-        val fakeWidth = 320 + (math.abs(h) % 1600).toInt
-        val fakeHeight = 240 + (math.abs(h >> 16) % 900).toInt
-        (p.url, bytes.length.toLong, p.lang, fakeWidth, fakeHeight)
+    import graft.operators.Multimodal
+    val media = graft.sources.WebPagesGen.webpages(s, 200).map { p =>
+      val modality = (Hashing.hashString(p.url) & 3L) match {
+        case 0 => "image"; case 1 => "audio"; case 2 => "video"; case _ => "text"
       }
-    }.toDF("url", "byte_len", "lang", "decoded_w", "decoded_h")
-      .orderBy("url")
+      Multimodal.MediaRow(graft.operators.Blocking.docId(p.url), modality, p.html)
+    }
+    Multimodal.extractFeatures(s, media).toDF().orderBy("id")
   }
 
   val all: Map[String, Q] = Map(

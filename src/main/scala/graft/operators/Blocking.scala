@@ -74,18 +74,23 @@ object Blocking {
       docs: Dataset[ExtractedDoc],
       maxDfTokens: Int = 1 << 22): Dataset[DocFeatures] = {
     import spark.implicits._
-    val n = docs.count().toDouble
-
     // document frequency over distinct per-doc tokens: one shuffle, then
-    // top-K by frequency to bound the broadcast
-    val dfRows = docs.flatMap(d => tokenHashesOf(d.text).distinct).toDF("token")
+    // top-K by frequency to bound the broadcast. A sentinel token emitted
+    // once per doc rides along, so the corpus count n needs no second job.
+    val SentinelToken = Long.MinValue
+    val dfRows = docs
+      .flatMap(d => tokenHashesOf(d.text).distinct :+ SentinelToken)
+      .toDF("token")
       .groupBy("token").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("token"))
       .limit(maxDfTokens)
       .collect()
-    val dfTokens = new Array[Long](dfRows.length)
-    val dfCounts = new Array[Double](dfRows.length)
-    dfRows.zipWithIndex.foreach { case (r, i) =>
+    val n = dfRows.find(_.getLong(0) == SentinelToken)
+      .map(_.getLong(1).toDouble).getOrElse(0.0)
+    val real = dfRows.filter(_.getLong(0) != SentinelToken)
+    val dfTokens = new Array[Long](real.length)
+    val dfCounts = new Array[Double](real.length)
+    real.zipWithIndex.foreach { case (r, i) =>
       dfTokens(i) = r.getLong(0); dfCounts(i) = r.getLong(1).toDouble
     }
     // sort by token for binary search
@@ -168,10 +173,10 @@ object Blocking {
           j <- (i + 1) until ids.length
         } yield CandidatePair(ids(i), ids(j))
       }
+      // dropDuplicates hash-shuffles by exactly (src, dst): the output IS
+      // the salted uniform repartition the scoring stage needs — pair-hash
+      // partitioned, skew-free regardless of block sizes. No extra shuffle.
       .dropDuplicates("src", "dst")
-      // deterministic salt: uniform pair-hash repartition before scoring
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        xxhash64(col("src"), col("dst")))
       .as[CandidatePair]
     (pairs, hotBlocks)
   }

@@ -100,6 +100,29 @@ object EntityResolution {
     F1Report(tp, fp, fn, precision, recall, f1)
   }
 
+  /** One store-free pipeline pass over a freshly generated corpus (the
+    * benchmark/scaling unit of work): returns (docs clustered, seconds). */
+  def runOnce(spark: SparkSession, nClusters: Long): (Long, Double) = {
+    import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val pages = WebPagesGen.webpages(spark, nClusters)
+    val extracted = extract(spark, pages)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val feats = Blocking.features(spark, extracted)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val blocks = Blocking.blockEntries(spark, feats)
+    val (pairs, _) = Blocking.candidatePairs(spark, blocks)
+    val scored = PairScoring.score(spark, pairs, feats)
+    val edges = scored.where(col("isDuplicate"))
+      .select(col("src"), col("dst")).as[Edge]
+    val assigned = ConnectedComponents.assign(spark, edges, feats.select(col("id")))
+    val docs = assigned.count()
+    feats.unpersist()
+    extracted.unpersist()
+    (docs, (System.nanoTime() - t0) / 1e9)
+  }
+
   /** Generate the corpus, run the pipeline, evaluate F1, return a one-line
     * JSON report. `nClusters` clusters ≈ 2.05 docs each. */
   def runAndReport(spark: SparkSession, outDir: String, nClusters: Long): String = {

@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Hashing, HtmlExtract}
+import graft.model.Mention
+import graft.operators.{Blocking, PageProcessing}
+import graft.sources.WebPagesGen
+
+/** Seeded property sweeps (SURVEY §5 item 3). Deterministic generators via
+  * counter-based hashing — reproducible without a ScalaCheck shrink cycle. */
+class PropertySpec extends AnyFunSuite {
+
+  private def randomMentions(trial: Int): Vector[Mention] = {
+    val n = 5 + Hashing.uniformInt(40, 1L, trial)
+    (0 until n).map { i =>
+      val off = Hashing.uniformInt(300, 2L, trial, i)
+      val len = 1 + Hashing.uniformInt(12, 3L, trial, i)
+      Mention(s"e${i % 7}", "x" * len, None, off, "P", s"e${i % 7}")
+    }.toVector
+  }
+
+  test("overlap suppression always yields a pairwise non-overlapping set") {
+    for (trial <- 0 until 50) {
+      val contexts = new PageProcessing.Contexts
+      randomMentions(trial).foreach { m =>
+        contexts.update(m.entity, contexts.getOrElse(m.entity, Vector.empty) :+ m)
+      }
+      val kept = PageProcessing.dropOverlappingMentions(contexts)
+        .valuesIterator.flatten.toVector
+      for (a <- kept; b <- kept if a != b) {
+        assert(!PageProcessing.mentionOverlaps(Seq(a), b),
+          s"trial $trial: $a overlaps $b")
+      }
+      // greedy keeps at least the first mention
+      assert(kept.nonEmpty)
+    }
+  }
+
+  test("every cluster variant shares >=1 blocking key with its base (blocking recall)") {
+    for (c <- 0L until 150L) {
+      val docs = (0 until WebPagesGen.clusterSize(c)).map { v =>
+        val p = WebPagesGen.genPage(c, v).page
+        val html = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
+        Blocking.ExtractedDoc(
+          Blocking.docId(p.url), p.url,
+          HtmlExtract.extractTitle(html), p.text, p.lang)
+      }
+      if (docs.length > 1) {
+        def keys(d: Blocking.ExtractedDoc): Set[Long] = {
+          val norm = graft.functions.TextFunctions.cleanEntity(d.title)
+          val titleKey =
+            if (norm.nonEmpty) Set(Hashing.hashString("title:" + norm)) else Set.empty[Long]
+          titleKey // the guaranteed-shared family (LSH bands add recall)
+        }
+        val base = keys(docs.head)
+        docs.tail.foreach { d =>
+          assert(keys(d).intersect(base).nonEmpty, s"cluster $c variant ${d.url}")
+        }
+      }
+    }
+  }
+
+  test("extraction is a pure function (100 random pages, double-extracted)") {
+    for (trial <- 0 until 100) {
+      val c = Hashing.uniformInt(5000, 7L, trial).toLong
+      val v = Hashing.uniformInt(3, 8L, trial)
+      if (v < WebPagesGen.clusterSize(c)) {
+        val p1 = WebPagesGen.genPage(c, v).page
+        val p2 = WebPagesGen.genPage(c, v).page
+        assert(p1.url == p2.url)
+        assert(java.util.Arrays.equals(p1.html, p2.html))
+        assert(HtmlExtract.extractText(p1.html) == HtmlExtract.extractText(p2.html))
+        assert(p1.text == HtmlExtract.extractText(p1.html))
+      }
+    }
+  }
+
+  test("matchAll offsets are valid, ordered, non-overlapping") {
+    import graft.functions.TextFunctions.matchAll
+    for (trial <- 0 until 80) {
+      val alphabet = "abc"
+      val len = 5 + Hashing.uniformInt(60, 20L, trial)
+      val s = (0 until len)
+        .map(i => alphabet(Hashing.uniformInt(3, 21L, trial, i))).mkString
+      val patLen = 1 + Hashing.uniformInt(3, 22L, trial)
+      val pat = (0 until patLen)
+        .map(i => alphabet(Hashing.uniformInt(3, 23L, trial, i))).mkString
+      val offs = matchAll(pat, s)
+      assert(offs == offs.sorted)
+      offs.foreach(o => assert(s.regionMatches(o, pat, 0, pat.length)))
+      offs.sliding(2).foreach {
+        case Seq(a, b) => assert(b >= a + pat.length) // non-overlapping
+        case _ =>
+      }
+    }
+  }
+}
