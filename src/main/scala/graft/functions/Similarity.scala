@@ -137,15 +137,26 @@ object Similarity {
   }
 
   /** Word-level shingles (n-grams) of a token array, hashed to longs. */
-  def shingleHashes(tokens: Array[String], n: Int): Array[Long] = {
-    if (tokens.length < n) {
-      if (tokens.isEmpty) return Array.empty
-      return Array(hashString(tokens.mkString("")))
+  def shingleHashes(tokens: Array[String], n: Int): Array[Long] =
+    shingleHashesFromTokenHashes(tokens.map(hashString), n)
+
+  /** Shingle hashes from pre-hashed tokens: combines n consecutive token
+    * hashes with the mixer — no string concatenation in the hot loop. */
+  def shingleHashesFromTokenHashes(tokenHashes: Array[Long], n: Int): Array[Long] = {
+    if (tokenHashes.length < n) {
+      if (tokenHashes.isEmpty) return Array.empty
+      var h = 0x2545f4914f6cdd1dL
+      var i = 0
+      while (i < tokenHashes.length) { h = mix64(h ^ tokenHashes(i)); i += 1 }
+      return Array(h)
     }
-    val out = new Array[Long](tokens.length - n + 1)
+    val out = new Array[Long](tokenHashes.length - n + 1)
     var i = 0
-    while (i + n <= tokens.length) {
-      out(i) = hashString(tokens.slice(i, i + n).mkString(""))
+    while (i + n <= tokenHashes.length) {
+      var h = 0x2545f4914f6cdd1dL
+      var j = i
+      while (j < i + n) { h = mix64(h ^ tokenHashes(j)); j += 1 }
+      out(i) = h
       i += 1
     }
     out.distinct.sorted

@@ -100,9 +100,10 @@ object Blocking {
     val dfB = spark.sparkContext.broadcast((sortedTokens, sortedDfs))
 
     docs.map { d =>
+      // one tokenization per doc: hashes feed tf/Jaccard AND the shingle
+      // minhash (rolling-hash shingles — no string concat)
       val raw = tokenHashesOf(d.text)
-      val shingles = Similarity.shingleHashes(
-        TextFunctions.wordTokens(TextFunctions.asciiFold(d.text)), ShingleSize)
+      val shingles = Similarity.shingleHashesFromTokenHashes(raw, ShingleSize)
       val sorted = raw.sorted
       // run-length encode the sorted stream into (distinct, count) arrays
       val distinctB = Array.newBuilder[Long]
