@@ -2,8 +2,8 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship: the three-way join + aggregation over sf0.001, then the
-    * mini end-to-end ER clustering (rows > 0 smoke). */
+  /** Flagship: the end-to-end ER clustering over the deterministic
+    * 150-cluster corpus (rows > 0 smoke). */
   def entry(spark: SparkSession): DataFrame =
     Queries.all("q29_er_clusters")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
