@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{Hashing, Similarity, TextFunctions}
+import graft.functions.{Hashing, OracleHash, Similarity}
+import graft.operators.Blocking
 
 /** The driver-facing operator catalog: one named query per implemented
   * operator family from SURVEY.md §2, each with a DuckDB oracle (same
@@ -325,24 +326,24 @@ object Queries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q20
-  /** Language-ID heuristic: stopword-count argmax (text analysis). */
+  /** Language ID: 5-language stopword-profile scoring with deterministic
+    * argmax (graft.functions.LanguageId — both engines' expressions are
+    * GENERATED from the same profile table, so they cannot drift).
+    * Multilingual discrimination is unit-tested in LanguageIdSpec; here the
+    * oracle pins the scoring itself value-for-value. */
   private val q20: Q = (s, d) =>
     t(s, d, "documents")
-      .select(
-        col("doc_id"),
-        expr("CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT)").as("stop_a"),
-        expr("CAST((length(text) - length(replace(text, ' data ', ''))) / 6 AS BIGINT)").as("stop_b"))
-      .withColumn("lang_guess",
-        when(col("stop_a") >= col("stop_b"), lit("en-ish")).otherwise(lit("data-ish")))
+      .selectExpr(("doc_id" +: graft.functions.LanguageId.sparkScoreExprs("text")): _*)
+      .selectExpr("*", graft.functions.LanguageId.argmaxCase)
       .orderBy("doc_id")
 
-  private val q20Sql =
-    """SELECT doc_id, stop_a, stop_b,
-      |  CASE WHEN stop_a >= stop_b THEN 'en-ish' ELSE 'data-ish' END AS lang_guess
-      |FROM (SELECT doc_id,
-      |  CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS stop_a,
-      |  CAST((length(text) - length(replace(text, ' data ', ''))) / 6 AS BIGINT) AS stop_b
-      |FROM documents) ORDER BY doc_id""".stripMargin
+  private lazy val q20Sql = {
+    val scores = graft.functions.LanguageId.duckScoreExprs("text").mkString(",\n  ")
+    s"""SELECT *, ${graft.functions.LanguageId.argmaxCase}
+       |FROM (SELECT doc_id,
+       |  $scores
+       |FROM documents) ORDER BY doc_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q21
   /** Exact dedup via content hash + window-min canonical id (S9/W1 analog,
@@ -415,39 +416,112 @@ object Queries {
       |FROM embeddings e, p WHERE e.vec_id <> p.probe_id
       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
-  // ---------------------------------------------------------------- q25
-  /** N-gram (3-shingle) Jaccard near-dup scores within a source block
-    * (training-data near-dedup; J10 blocking-key self-join shape). */
-  private val q25: Q = (s, d) => {
-    val sh = t(s, d, "documents")
-      .withColumn("arr", split(lower(trim(col("text"))), "\\s+"))
+  // ------------------------------------------- oracle-hash MinHash shared
+  // Affine MinHash over md5-derived 32-bit hashes (OracleHash.scala): the
+  // same signature/band-key algorithm as the production Blocking path, with
+  // the hash family swapped for one the DuckDB oracle evaluates bit-for-bit
+  // — so q25/q27 get VALUE-level oracles instead of rows-only checks.
+  private val MinHashPerms = 20
+  private val MinHashRows = 4 // 5 bands of 4 rows
+  private val MaxBlockSz = Blocking.DefaultMaxBlockSize // stop-block cap, mirrored in SQL
+  private lazy val MhA = Array.tabulate(MinHashPerms)(OracleHash.minHashA)
+  private lazy val MhB = Array.tabulate(MinHashPerms)(OracleHash.minHashB)
+
+  /** (doc_id, distinct word-3-shingles) — identical construction in the
+    * DuckDB CTE `sh` below. */
+  private def shingleDocs(s: SparkSession, d: String) = {
+    import s.implicits._
+    t(s, d, "documents")
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("arr"))
       .where(size(col("arr")) >= 3)
       .select(
-        col("doc_id"), col("source"),
+        col("doc_id"),
         expr("array_distinct(transform(sequence(0, size(arr) - 3), i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2])))").as("sh"))
-    val a = sh.select(col("doc_id").as("src_doc"), col("source"), col("sh").as("sh_a"))
-    val b = sh.select(col("doc_id").as("dst_doc"), col("source"), col("sh").as("sh_b"))
-    a.join(b, "source")
-      .where(col("src_doc") < col("dst_doc"))
+      .as[(Long, Seq[String])]
+  }
+
+  /** LSH band-key entries per doc from the affine MinHash signature. */
+  private def bandEntries(s: SparkSession, d: String) = {
+    import s.implicits._
+    shingleDocs(s, d).flatMap { case (id, sh) =>
+      val sig = Similarity.minHashSignatureAffine(
+        sh.map(OracleHash.h32).toArray, MhA, MhB)
+      Similarity.bandKeysPoly(sig, MinHashRows, OracleHash.BandMult, OracleHash.Mod)
+        .map(k => Blocking.BlockEntry(k, id))
+    }
+  }
+
+  private def oh(e: String): String = OracleHash.sqlH32(e)
+
+  /** DuckDB CTEs mirroring shingleDocs + bandEntries. */
+  private lazy val minHashCtes: String = {
+    val bandKeyFold = (1 to MinHashRows).foldLeft("(band + 1)") { (acc, r) =>
+      s"(($acc * ${OracleHash.BandMult} + ms[$r]) % ${OracleHash.Mod})"
+    }
+    s"""arr AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(len(arr) - 2),
+       |      i -> arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3])) AS sh
+       |  FROM arr WHERE len(arr) >= 3),
+       |perm AS (
+       |  SELECT p, (${oh("'minhash-a:' || p")} % 1073741824) * 2 + 1 AS a,
+       |         ${oh("'minhash-b:' || p")} AS b
+       |  FROM range($MinHashPerms) rp(p)),
+       |g AS (
+       |  SELECT u.doc_id, perm.p,
+       |         min((perm.a * ${oh("u.shingle")} + perm.b) % ${OracleHash.Mod}) AS m
+       |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh) u, perm
+       |  GROUP BY u.doc_id, perm.p),
+       |sig AS (
+       |  SELECT doc_id, p // $MinHashRows AS band, list(m ORDER BY p) AS ms
+       |  FROM g GROUP BY doc_id, p // $MinHashRows),
+       |keys AS (
+       |  SELECT doc_id, $bandKeyFold AS band_key FROM sig)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q25
+  /** N-gram (3-shingle) Jaccard near-dup scoring over MinHash-LSH candidate
+    * pairs — the PRODUCTION plan shape (block keys -> stop-block cap ->
+    * dedup'd pairs -> scoring), not an all-pairs self-join: work is bounded
+    * by cap² per block, linear in corpus size. Pair generation runs through
+    * the real `Blocking.candidatePairs` operator; the DuckDB oracle mirrors
+    * the affine-MinHash keys, the cap, and the scoring exactly. */
+  private val q25: Q = (s, d) => {
+    import s.implicits._
+    val docs = shingleDocs(s, d)
+    val (pairs, _) =
+      Blocking.candidatePairs(s, bandEntries(s, d), MaxBlockSz, persistSizes = false)
+    val a = docs.toDF("src_doc", "sh_a")
+    val b = docs.toDF("dst_doc", "sh_b")
+    pairs.toDF().select(col("src").as("src_doc"), col("dst").as("dst_doc"))
+      .join(a, Seq("src_doc")).join(b, Seq("dst_doc"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .where(col("inter") > 0) // integer predicate — identical in both engines
       .select(
         col("src_doc"), col("dst_doc"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        round(col("inter").cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 4).as("jac"))
-      .where(col("jac") > 0)
       .orderBy("src_doc", "dst_doc")
   }
 
-  private val q25Sql =
-    """WITH sh AS (
-      |  SELECT doc_id, source,
-      |    list_distinct(list_transform(range(len(arr) - 2), i -> arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3])) AS sh
-      |  FROM (SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS arr FROM documents)
-      |  WHERE len(arr) >= 3)
-      |SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc,
-      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jac
-      |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) > 0
-      |ORDER BY src_doc, dst_doc""".stripMargin
+  private lazy val q25Sql =
+    s"""WITH $minHashCtes,
+       |ksz AS (SELECT band_key, count(*) AS sz FROM keys GROUP BY band_key),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS src_doc, b.doc_id AS dst_doc
+       |  FROM keys a
+       |  JOIN keys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  JOIN ksz ON ksz.band_key = a.band_key
+       |  WHERE ksz.sz BETWEEN 2 AND $MaxBlockSz)
+       |SELECT p.src_doc, p.dst_doc,
+       |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jac
+       |FROM pairs p
+       |JOIN sh a ON a.doc_id = p.src_doc
+       |JOIN sh b ON b.doc_id = p.dst_doc
+       |WHERE len(list_intersect(a.sh, b.sh)) > 0
+       |ORDER BY src_doc, dst_doc""".stripMargin
 
   // ---------------------------------------------------------------- q26
   /** Levenshtein (built-in both engines) on source-name pairs. */
@@ -517,28 +591,39 @@ object Queries {
       |JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source
       |ORDER BY src_a, src_b""".stripMargin
 
-  // ------------------------------------------------------- rows-only set
-  /** MinHash-LSH near-dup candidate blocks over documents (engine hashes —
-    * no SQL oracle; driver does a rows-only check). */
+  // ---------------------------------------------------------------- q27
+  /** MinHash-LSH near-dup candidate blocks over documents: the engine's
+    * signature/band machinery (Similarity.minHashSignatureAffine +
+    * bandKeysPoly — the same structure the production Blocking path runs
+    * with mixer hashes) cross-checked value-for-value by the DuckDB oracle
+    * recomputing every signature from the md5 hash family. */
   private val q27: Q = (s, d) => {
     import s.implicits._
-    val docs = t(s, d, "documents").select("doc_id", "text").as[(Long, String)]
-    docs.flatMap { case (id, text) =>
-      val toks = TextFunctions.wordTokens(text)
-      val sig = Similarity.minHashSignature(Similarity.shingleHashes(toks, 3), 20)
-      Similarity.lshBandKeys(sig, 4).map(k => (k, id))
-    }.toDF("band_key", "doc_id")
+    bandEntries(s, d)
+      .toDF("band_key", "doc_id")
       .groupBy("band_key").agg(count(lit(1)).as("sz"), min("doc_id").as("min_doc"))
       .orderBy(col("band_key"))
   }
 
-  /** SimHash fingerprints + hamming distance to the corpus min doc. */
+  private lazy val q27Sql =
+    s"""WITH $minHashCtes
+       |SELECT band_key, count(*) AS sz, min(doc_id) AS min_doc
+       |FROM keys GROUP BY band_key ORDER BY band_key""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  /** SimHash fingerprints + hamming distance to the corpus min doc. The
+    * engine runs Similarity.simHash (the production bit-vote kernel) over
+    * md5-derived 32-bit token hashes; the oracle recomputes every bit vote
+    * in SQL. (32-bit hash inputs => bits 32..63 vote all-negative and
+    * clear, i.e. an exact 32-bit SimHash.) */
   private val q28: Q = (s, d) => {
     import s.implicits._
-    val docs = t(s, d, "documents").select("doc_id", "text").as[(Long, String)]
-    val sims = docs.map { case (id, text) =>
-      (id, Similarity.simHash(TextFunctions.wordTokens(text).map(Hashing.hashString)))
-    }.toDF("doc_id", "simhash")
+    val sims = t(s, d, "documents")
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .as[(Long, Seq[String])]
+      .map { case (id, toks) =>
+        (id, Similarity.simHash(toks.map(OracleHash.h32).toArray))
+      }.toDF("doc_id", "simhash")
     val probe = sims.orderBy("doc_id").limit(1)
       .select(col("simhash").as("probe_sim"))
     sims.crossJoin(broadcast(probe))
@@ -548,28 +633,76 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  private lazy val q28Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+       |  FROM documents),
+       |votes AS (
+       |  SELECT doc_id, b,
+       |         sum(CASE WHEN (${oh("t")} >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+       |  FROM tok, range(32) rb(b) GROUP BY doc_id, b),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id)
+       |SELECT s.doc_id, s.simhash,
+       |  CAST(bit_count(xor(s.simhash, p.simhash)) AS BIGINT) AS hamming_to_first
+       |FROM sh s, (SELECT simhash FROM sh WHERE doc_id = (SELECT min(doc_id) FROM sh)) p
+       |ORDER BY doc_id""".stripMargin
+
   /** The full ER pipeline on the deterministic synthetic corpus (constant
-    * size — independent of sf): url -> cluster id (rows-only). */
+    * size — independent of sf): url -> canonical url (min url of the
+    * predicted cluster). The oracle is the PLANTED ground truth embedded as
+    * a literal VALUES table (generated from the same pure functions the
+    * corpus generator runs) — an end-to-end golden: the predicted partition
+    * must equal the planted clustering exactly. */
   private val q29: Q = (s, _) => {
     import s.implicits._
-    val pages = graft.sources.WebPagesGen.webpages(s, 150)
+    val pages = graft.sources.WebPagesGen.webpages(s, Q29Clusters)
     val extracted = graft.pipeline.EntityResolution.extract(s, pages)
     val feats = graft.operators.Blocking.features(s, extracted)
     val blocks = graft.operators.Blocking.blockEntries(s, feats)
-    val (pairs, _) = graft.operators.Blocking.candidatePairs(s, blocks)
+    val (pairs, _) =
+      graft.operators.Blocking.candidatePairs(s, blocks, persistSizes = false)
     val scored = graft.operators.PairScoring.score(s, pairs, feats)
     val edges = scored.where(col("isDuplicate"))
       .select(col("src"), col("dst")).as[graft.model.Edge]
     val assigned = graft.operators.ConnectedComponents.assign(
       s, edges, feats.select(col("id")))
     feats.select(col("id"), col("url")).join(assigned, "id")
-      .select(col("url"), col("comp").as("cluster"))
+      .withColumn("canonical", min("url").over(Window.partitionBy("comp")))
+      .select(col("url"), col("canonical"))
       .orderBy("url")
   }
 
-  /** LSH-bucketed approximate nearest neighbors (the ANN scale path;
-    * engine hashes — rows-only): top-3 per query over the embeddings
-    * table, queries = first 20 vectors. */
+  private val Q29Clusters = 150L
+
+  private lazy val q29Sql = {
+    import graft.sources.WebPagesGen
+    val rows = (0L until Q29Clusters).flatMap { c =>
+      val urls = (0 until WebPagesGen.clusterSize(c)).map(v => WebPagesGen.urlOf(c, v))
+      val canonical = urls.min
+      urls.map(u => (u, canonical))
+    }.sortBy(_._1)
+    val values = rows.map { case (u, cn) => s"('$u', '$cn')" }.mkString(",\n")
+    s"SELECT url, canonical FROM (VALUES\n$values) t(url, canonical) ORDER BY url"
+  }
+
+  // ---------------------------------------------------------------- q34
+  // Sign-LSH ANN parameters: 96 planes / 6 bands = 16 bits per band
+  // (bucket cardinality 2^16 per band — candidate volume ~linear in corpus
+  // size), hot buckets over 128 corpus members dropped.
+  private val AnnPlanes = 96
+  private val AnnBands = 6
+  private val AnnDims = 64 // embeddings table dimension (TESTDATA.md)
+  private val AnnCap = 128
+
+  /** LSH-bucketed approximate nearest neighbors (the ANN scale path):
+    * top-3 per query over the embeddings table, queries = vec_id < 20.
+    * Signatures run on integer-quantized vectors with the md5 sign matrix,
+    * so the DuckDB oracle recomputes every bucket and candidate exactly;
+    * ranking uses the 4dp-rounded cosine with cid tiebreak so cross-engine
+    * ordering cannot diverge at 1e-16. */
   private val q34: Q = (s, d) => {
     import s.implicits._
     import graft.operators.SimilaritySearch
@@ -577,24 +710,140 @@ object Queries {
     val emb = t(s, d, "embeddings")
       .selectExpr("vec_id AS id", "embedding AS vec").as[EmbeddingRow]
     val queries = emb.filter((r: EmbeddingRow) => r.id < 20)
-    SimilaritySearch.lshTopK(s, queries, emb, 3)
+    SimilaritySearch.lshCandidates(
+      s, queries, emb, SimilaritySearch.oracleSigns(AnnPlanes, AnnDims),
+      AnnBands, AnnCap)
+      .withColumn("cos_sim", round(col("cosine"), 4))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))).cast("long"))
+      .where(col("rnk") <= 3)
+      .select("qid", "cid", "cos_sim", "rnk")
       .orderBy("qid", "rnk")
+  }
+
+  private lazy val q34Sql = {
+    val bits = AnnPlanes / AnnBands
+    s"""WITH quant AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |sgn AS (
+       |  SELECT p, d,
+       |    CASE WHEN ${oh("'plane:' || p || ':' || d")} % 2 = 0 THEN 1::BIGINT ELSE -1::BIGINT END AS s
+       |  FROM range($AnnPlanes) rp(p), range($AnnDims) rd(d)),
+       |dotp AS (
+       |  SELECT v.vec_id, g.p, CAST(sum(v.qv[g.d + 1] * g.s) AS BIGINT) AS dot
+       |  FROM quant v, sgn g GROUP BY v.vec_id, g.p),
+       |bnd AS (
+       |  SELECT vec_id, p // $bits AS band,
+       |    CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << (p % $bits)) ELSE 0 END) AS BIGINT) AS bval
+       |  FROM dotp GROUP BY vec_id, p // $bits),
+       |keys AS (SELECT vec_id, band * 4294967296 + bval AS bucket FROM bnd),
+       |eligible AS (SELECT bucket FROM keys GROUP BY bucket HAVING count(*) <= $AnnCap),
+       |cand AS (
+       |  SELECT DISTINCT qk.vec_id AS qid, ck.vec_id AS cid
+       |  FROM keys qk
+       |  JOIN keys ck ON qk.bucket = ck.bucket
+       |  JOIN eligible e ON e.bucket = qk.bucket
+       |  WHERE qk.vec_id < 20 AND qk.vec_id <> ck.vec_id),
+       |scored AS (
+       |  SELECT c.qid, c.cid,
+       |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |            t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+       |      / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |           * list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS cos_sim
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.qid
+       |  JOIN embeddings b ON b.vec_id = c.cid),
+       |ranked AS (
+       |  SELECT qid, cid, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT qid, cid, cos_sim, rnk FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
   }
 
   /** Multimodal plumbing: opaque binary columns + typed metadata through
     * the batched Multimodal operator (decode is a marked stub — no media
-    * libs in-container; schema/partitioning/batch shape real; rows-only). */
-  private val q30: Q = (s, _) => {
+    * libs in-container; schema/partitioning/batch shape real). The oracle
+    * checks the SQL-expressible features (byte length, md5 content
+    * fingerprint, modality routing); stub decode fields are unit-tested. */
+  private val q30: Q = (s, d) => {
     import s.implicits._
     import graft.operators.Multimodal
-    val media = graft.sources.WebPagesGen.webpages(s, 200).map { p =>
-      val modality = (Hashing.hashString(p.url) & 3L) match {
-        case 0 => "image"; case 1 => "audio"; case 2 => "video"; case _ => "text"
+    val media = t(s, d, "documents").select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val modality = (id % 4) match {
+          case 0 => "image"; case 1 => "audio"; case 2 => "video"; case _ => "text"
+        }
+        val bytes = (if (text == null) "" else text)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        Multimodal.MediaRow(id, modality, bytes)
       }
-      Multimodal.MediaRow(graft.operators.Blocking.docId(p.url), modality, p.html)
-    }
-    Multimodal.extractFeatures(s, media).toDF().orderBy("id")
+    Multimodal.extractFeatures(s, media).toDF()
+      .select(col("id"), col("modality"),
+        col("byteLen").as("byte_len"), col("contentMd5").as("content_md5"))
+      .orderBy("id")
   }
+
+  private val q30Sql =
+    """SELECT doc_id AS id,
+      |  CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' WHEN 2 THEN 'video' ELSE 'text' END AS modality,
+      |  CAST(strlen(text) AS BIGINT) AS byte_len,
+      |  md5(text) AS content_md5
+      |FROM documents ORDER BY id""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  /** A4 dense first-seen entity labels (EntityPrior.entityLabels): dense
+    * 0..n-1 ids over the deterministic `entity ASC` order, computed with
+    * range partitioning + zipWithIndex (no single-task window). */
+  private val q35: Q = (s, d) =>
+    graft.operators.EntityPrior.entityLabels(
+      t(s, d, "documents").select(col("source").as("entity")))
+      .orderBy("entity")
+
+  private val q35Sql =
+    """SELECT source AS entity,
+      |  CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS label
+      |FROM (SELECT DISTINCT source FROM documents) ORDER BY entity""".stripMargin
+
+  // ---------------------------------------------------------------- q36
+  /** J1/P10/P11 redirect-lookup build (RedirectLookup.build) over
+    * page/redirect tables synthesized from documents identically in both
+    * engines: join on rd_from = page_id, '_'→space, both-case keys,
+    * deterministic per-key dedup. */
+  private val q36: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val pages = docs.selectExpr(
+      "doc_id AS page_id",
+      "concat(source, '_', doc_id) AS page_title",
+      "CAST(0 AS BIGINT) AS page_namespace")
+    val redirects = docs.where(col("doc_id") % 3 === 0).selectExpr(
+      "doc_id AS rd_from",
+      "concat('Target_', source) AS rd_title")
+    graft.operators.RedirectLookup.build(pages, redirects)
+      .orderBy("from_key")
+  }
+
+  private val q36Sql =
+    """WITH p AS (
+      |  SELECT doc_id AS page_id, source || '_' || doc_id AS page_title, 0 AS page_namespace
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id AS rd_from, 'Target_' || source AS rd_title
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |j AS (
+      |  SELECT replace(page_title, '_', ' ') AS from_page, replace(rd_title, '_', ' ') AS to_page
+      |  FROM p JOIN r ON r.rd_from = p.page_id WHERE page_namespace = 0),
+      |k AS (
+      |  SELECT upper(substring(from_page, 1, 1)) || substring(from_page, 2) AS from_key, from_page, to_page FROM j
+      |  UNION ALL
+      |  SELECT lower(substring(from_page, 1, 1)) || substring(from_page, 2) AS from_key, from_page, to_page FROM j),
+      |ranked AS (
+      |  SELECT from_key, to_page,
+      |    row_number() OVER (PARTITION BY from_key
+      |      ORDER BY CASE WHEN from_key = from_page THEN 0 ELSE 1 END, to_page) AS rn
+      |  FROM k)
+      |SELECT from_key, to_page FROM ranked WHERE rn = 1 ORDER BY from_key""".stripMargin
 
   val all: Map[String, Q] = Map(
     "q01_group_agg" -> q01,
@@ -630,7 +879,9 @@ object Queries {
     "q31_ascii_fold_expr" -> q31,
     "q32_escape_title_expr" -> q32,
     "q33_jaro_winkler_expr" -> q33,
-    "q34_ann_lsh" -> q34)
+    "q34_ann_lsh" -> q34,
+    "q35_entity_labels" -> q35,
+    "q36_redirect_lookup" -> q36)
 
   val oracles: Map[String, String] = Map(
     "q01_group_agg" -> q01Sql,
@@ -659,7 +910,14 @@ object Queries {
     "q24_embed_knn" -> q24Sql,
     "q25_ngram_jaccard" -> q25Sql,
     "q26_levenshtein" -> q26Sql,
+    "q27_minhash_blocks" -> q27Sql,
+    "q28_simhash" -> q28Sql,
+    "q34_ann_lsh" -> q34Sql,
+    "q29_er_clusters" -> q29Sql,
+    "q30_multimodal_stub" -> q30Sql,
     "q31_ascii_fold_expr" -> q31Sql,
     "q32_escape_title_expr" -> q32Sql,
-    "q33_jaro_winkler_expr" -> q33Sql)
+    "q33_jaro_winkler_expr" -> q33Sql,
+    "q35_entity_labels" -> q35Sql,
+    "q36_redirect_lookup" -> q36Sql)
 }

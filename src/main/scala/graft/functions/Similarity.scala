@@ -182,6 +182,51 @@ object Similarity {
     sig
   }
 
+  /** MinHash with affine permutations g_p(x) = (a_p * x + b_p) mod 2^32
+    * over hashes in [0, 2^32): the oracle-reproducible twin of
+    * [[minHashSignature]] — same min-over-permutations structure, hash
+    * family swapped for one DuckDB can evaluate ([[graft.functions.OracleHash]]).
+    * Multipliers must be < 2^31 so a*x never overflows a signed 64-bit int
+    * (the oracle engine raises on overflow; nothing may wrap). */
+  def minHashSignatureAffine(
+      hashes: Array[Long], as: Array[Long], bs: Array[Long]): Array[Long] = {
+    val sig = new Array[Long](as.length)
+    var p = 0
+    while (p < as.length) {
+      var best = Long.MaxValue
+      var i = 0
+      while (i < hashes.length) {
+        val g = (as(p) * hashes(i) + bs(p)) % OracleHash.Mod
+        if (g < best) best = g
+        i += 1
+      }
+      sig(p) = if (best == Long.MaxValue) 0L else best // empty input -> 0
+      p += 1
+    }
+    sig
+  }
+
+  /** Polynomial band-key fold over a signature, mod-2^32 arithmetic — the
+    * oracle-reproducible twin of [[lshBandKeys]]: band b's key starts at
+    * b+1 and folds `rowsPerBand` consecutive signature entries with
+    * k = (k * mult + v) mod m. */
+  def bandKeysPoly(sig: Array[Long], rowsPerBand: Int, mult: Long, mod: Long): Array[Long] = {
+    val bands = sig.length / rowsPerBand
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var k = (b + 1).toLong
+      var r = 0
+      while (r < rowsPerBand) {
+        k = (k * mult + sig(b * rowsPerBand + r)) % mod
+        r += 1
+      }
+      keys(b) = k
+      b += 1
+    }
+    keys
+  }
+
   /** LSH band keys from a MinHash signature: one 64-bit key per band,
     * hashing `rowsPerBand` consecutive signature entries + the band index.
     * Two docs share a band key iff their signatures agree on that band. */

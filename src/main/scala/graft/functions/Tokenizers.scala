@@ -106,7 +106,7 @@ object Tokenizers {
   private val contractions = Seq(
     "(?i)\\b(can)(not)\\b", "(?i)\\b(d)('ye)\\b", "(?i)\\b(gim)(me)\\b",
     "(?i)\\b(gon)(na)\\b", "(?i)\\b(got)(ta)\\b", "(?i)\\b(lem)(me)\\b",
-    "(?i)\\b(more)('n)\\b", "(?i)\\b(wan)(na) ",
+    "(?i)\\b(mor)('n)\\b", "(?i)\\b(wan)(na) ",
     "(?i) ('t)(is)\\b", "(?i) ('t)(was)\\b")
     .map(p => Rule(p.r, " $1 $2 "))
 

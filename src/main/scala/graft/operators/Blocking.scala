@@ -156,11 +156,25 @@ object Blocking {
   def candidatePairs(
       spark: SparkSession,
       entries: Dataset[BlockEntry],
-      maxBlockSize: Int = DefaultMaxBlockSize): (Dataset[CandidatePair], () => Long) = {
+      maxBlockSize: Int = DefaultMaxBlockSize,
+      persistSizes: Boolean = true): (Dataset[CandidatePair], () => Long) = {
     import spark.implicits._
-    val sizes = entries.groupBy("key").agg(count(lit(1)).as("sz"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hotBlocks = () => sizes.where(col("sz") > maxBlockSize).count()
+    val sizesBase = entries.groupBy("key").agg(count(lit(1)).as("sz"))
+    // persistSizes=true shares one computation of the block histogram
+    // between the pair join and the hot-block counter; the counter thunk
+    // unpersists after counting, so a caller that (a) materializes pairs
+    // and then (b) forces the thunk leaks nothing. Callers that never
+    // force the thunk (lazy catalog queries) should pass false and pay
+    // one histogram recompute instead of a dangling cache entry.
+    val sizes =
+      if (persistSizes)
+        sizesBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sizesBase
+    val hotBlocks = () => {
+      val n = sizes.where(col("sz") > maxBlockSize).count()
+      if (persistSizes) sizes.unpersist()
+      n
+    }
     val eligible = entries.join(
       sizes.where(col("sz") >= 2 && col("sz") <= maxBlockSize), "key")
       .select(col("key"), col("id")).as[BlockEntry]

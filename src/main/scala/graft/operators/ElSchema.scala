@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
 import graft.model.ProcessedPage
 
 /** The reference's relational star schema
@@ -33,9 +32,6 @@ object ElSchema {
 
   def pageId(source: String, sourceId: String): Long =
     graft.functions.Hashing.hashString(s"page:$source:$sourceId")
-
-  def entityId(cleanText: String): Long =
-    graft.functions.Hashing.hashString(s"entity:$cleanText")
 
   /** Build all six tables. `wikiTitles` is the F6 gate: entities whose
     * normalized text has no page are dropped, mirroring
@@ -70,18 +66,23 @@ object ElSchema {
       .join(categories, "category")
       .select(col("id").as("category_id"), col("page_id"))
 
-    val cleanEntityUdf = udf((s: String) => TextFunctions.cleanEntity(s))
+    // cleanEntity (db.py:12-13) as pure Column algebra: the native
+    // graft_ascii_fold expression (codegen'd, GraftExtensions) composed
+    // with builtin lower+trim — no Scala UDF in the F6 gate / id path, so
+    // the whole mention projection stays inside whole-stage codegen.
+    def cleanEntityCol(c: String): org.apache.spark.sql.Column =
+      lower(trim(expr(s"graft_ascii_fold(`$c`)")))
 
     val mentionRows = processed.flatMap { p =>
       val pid = pageId(source, p.documentInfo.sourceId.getOrElse(""))
       p.mentions.map(m => (m.entity, m.text, m.offset, pid, m.preredirect))
     }.toDF("entity", "text", "offset", "page_id", "preredirect")
-      .withColumn("entity_clean", cleanEntityUdf(col("entity")))
+      .withColumn("entity_clean", cleanEntityCol("entity"))
 
     // F6: keep entities whose normalized text exists in the titles set
     val gated = wikiTitles match {
       case Some(titles) =>
-        val keys = titles.select(cleanEntityUdf(col(titles.columns.head)).as("entity_clean"))
+        val keys = titles.select(cleanEntityCol(titles.columns.head).as("entity_clean"))
           .distinct()
         mentionRows.join(broadcast(keys), Seq("entity_clean"), "left_semi")
       case None => mentionRows

@@ -25,6 +25,7 @@ object Multimodal {
       modality: String,
       byteLen: Long,
       contentHash: Long,
+      contentMd5: String, // md5 hex of the payload — dedup fingerprint
       width: Int, // images/video; 0 otherwise
       height: Int,
       durationMs: Long, // audio/video; 0 otherwise
@@ -56,14 +57,20 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
+      // per-PARTITION setup (a real decoder's codec handles / model weights
+      // initialize here, once, then serve every batch below)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
       it.grouped(BatchSize).flatMap { batch =>
-        // per-batch setup would go here (codec handles, model weights, ...)
+        // per-batch work: a real pipeline hands `batch` to the codec in one
+        // call (the Arrow-record-batch shape of mapInPandas)
         batch.iterator.map { m =>
           val bytes = if (m.bytes == null) Array.empty[Byte] else m.bytes
           val (w, hgt, dur, frames) = decodeStub(m.modality, bytes)
+          md5.reset()
+          val hex = md5.digest(bytes).map(b => f"${b & 0xff}%02x").mkString
           MediaFeatures(m.id, m.modality, bytes.length.toLong,
             Hashing.hash64(bytes.length.toLong, bytes.take(8).map(_.toLong).sum),
-            w, hgt, dur, frames)
+            hex, w, hgt, dur, frames)
         }
       }
     }

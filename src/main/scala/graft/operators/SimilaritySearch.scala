@@ -4,54 +4,85 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Hashing
+import graft.functions.{Hashing, OracleHash}
 import graft.functions.Similarity.denseCosine
 
 /** Similarity search over an embedding column.
   *
   * Two paths (training-data pipeline requirement):
-  *  - brute force: query × corpus cosine + per-query top-k — exact, O(|Q|·|C|),
-  *    the baseline (also exposed as catalog query q24);
-  *  - LSH-bucketed: sign-random-projection signatures, banded into bucket
-  *    keys; candidates = bucket co-members, exactly re-ranked. At corpus
-  *    scale the bucket join replaces the full cross product — the classic
-  *    cosine-LSH recall/cost trade governed by (numPlanes, bands).
+  *  - brute force: query × corpus cosine + per-query top-k — exact,
+  *    O(|Q|·|C|), the baseline (catalog query q24);
+  *  - LSH-bucketed: sign-random-projection signatures banded into bucket
+  *    keys; candidates = bucket co-members, exactly re-ranked (q34).
   *
-  * Hyperplanes are derived deterministically from the seed (counter-based
-  * hashing), so signatures are stable across runs and cluster sizes.
+  * Scale design of the LSH path:
+  *  - ≥16 bits per band (default 96 planes / 6 bands): bucket cardinality
+  *    2^16 per band, so candidate volume stays ~linear in corpus size —
+  *    4-bit bands (16 buckets) would degenerate to ~N²/16 pairs;
+  *  - hot-bucket cap: buckets above `maxBucketSize` corpus members are
+  *    dropped (the stop-block analog in Blocking.candidatePairs);
+  *  - (qid, cid) candidate ids are deduplicated across bands BEFORE the
+  *    float vectors are re-attached — the wide rows never ride through the
+  *    dedup shuffle.
+  *
+  * Signatures use integer-quantized vectors (floor(x·10⁴)) so the plane
+  * dots are exact integer arithmetic — byte-identical across engines and
+  * summation orders; with the md5 sign matrix ([[OracleHash.planeSign]])
+  * the DuckDB oracle recomputes every signature, bucket, and candidate
+  * (catalog q34). Production uses the fast seeded sign matrix.
   */
 object SimilaritySearch {
 
   final case class EmbeddingRow(id: Long, vec: Array[Float])
 
-  val DefaultPlanes = 16
-  val DefaultBands = 4 // 4 bands x 4 bits
+  val DefaultPlanes = 96
+  val DefaultBands = 6 // 16 bits per band
+  val DefaultMaxBucketSize = 128
+  val QuantScale = 10000.0
 
-  /** Deterministic ±1 hyperplane component for (plane, dim). */
-  private def planeSign(seed: Long, plane: Int, dim: Int): Float =
-    if ((Hashing.hash64(seed, plane.toLong, dim.toLong) & 1L) == 0L) 1.0f else -1.0f
-
-  /** Sign-random-projection signature (numPlanes bits). */
-  def signature(vec: Array[Float], numPlanes: Int, seed: Long): Int = {
-    var sig = 0
-    var p = 0
-    while (p < numPlanes) {
-      var dot = 0.0f
-      var i = 0
-      while (i < vec.length) { dot += vec(i) * planeSign(seed, p, i); i += 1 }
-      if (dot >= 0) sig |= (1 << p)
-      p += 1
+  /** floor(x · 10⁴) per component: exact in IEEE double, so any engine
+    * computes the identical integers (no float-sum order sensitivity in
+    * the signature path). 1e-4 quantization is far below embedding noise. */
+  def quantized(vec: Array[Float]): Array[Long] = {
+    val out = new Array[Long](vec.length)
+    var i = 0
+    while (i < vec.length) {
+      out(i) = math.floor(vec(i).toDouble * QuantScale).toLong
+      i += 1
     }
-    sig
+    out
   }
 
-  /** Banded bucket keys from a signature: band index folded into the key. */
-  def bucketKeys(sig: Int, numPlanes: Int, bands: Int): Array[Long] = {
+  /** Production ±1 hyperplane matrix — deterministic from the seed, stable
+    * across runs and cluster sizes. */
+  def hashSigns(numPlanes: Int, dims: Int, seed: Long): Array[Array[Long]] =
+    Array.tabulate(numPlanes, dims)((p, d) =>
+      if ((Hashing.hash64(seed, p.toLong, d.toLong) & 1L) == 0L) 1L else -1L)
+
+  /** Oracle-reproducible ±1 matrix (md5 parity — OracleHash.planeSign). */
+  def oracleSigns(numPlanes: Int, dims: Int): Array[Array[Long]] =
+    Array.tabulate(numPlanes, dims)((p, d) => OracleHash.planeSign(p, d))
+
+  /** Banded bucket keys: signature bit p is set iff Σ_d qv(d)·sign(p,d) ≥ 0;
+    * band b's key = b · 2³² + its (planes/bands)-bit slice. Integer
+    * arithmetic end-to-end (|qv| ≤ 2^40·dims stays far from overflow). */
+  def bucketKeysOf(qv: Array[Long], signs: Array[Array[Long]], bands: Int): Array[Long] = {
+    val numPlanes = signs.length
     val bits = numPlanes / bands
-    val mask = (1 << bits) - 1
-    Array.tabulate(bands) { b =>
-      Hashing.hash64(0x5ea4c11L, b.toLong, ((sig >> (b * bits)) & mask).toLong)
+    val keys = new Array[Long](bands)
+    var p = 0
+    while (p < numPlanes) {
+      val s = signs(p)
+      val n = math.min(qv.length, s.length)
+      var dot = 0L
+      var d = 0
+      while (d < n) { dot += qv(d) * s(d); d += 1 }
+      if (dot >= 0L) keys(p / bits) |= (1L << (p % bits))
+      p += 1
     }
+    var b = 0
+    while (b < bands) { keys(b) = b.toLong * 4294967296L + keys(b); b += 1 }
+    keys
   }
 
   /** Exact brute-force top-k: per query, the k nearest corpus rows by
@@ -77,10 +108,43 @@ object SimilaritySearch {
       .select("qid", "cid", "cosine", "rnk")
   }
 
-  /** LSH-bucketed approximate top-k: candidates from bucket co-membership,
-    * exact rerank within candidates. Scale shape: two map-only key
-    * explosions + one equi join on bucket key (skew-bounded by bucket
-    * cardinality 2^bits per band) + per-query top-k window. */
+  /** LSH candidate set with exact cosines, pre-ranking: ids-only bucket
+    * join (hot buckets capped) → (qid, cid) dedup → vectors re-attached →
+    * cosine in mapPartitions. Returns (qid, cid, cosine). */
+  def lshCandidates(
+      spark: SparkSession,
+      queries: Dataset[EmbeddingRow],
+      corpus: Dataset[EmbeddingRow],
+      signs: Array[Array[Long]],
+      bands: Int = DefaultBands,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    import spark.implicits._
+    val signsB = spark.sparkContext.broadcast(signs)
+    def keyed(ds: Dataset[EmbeddingRow], idName: String): DataFrame =
+      ds.flatMap { r =>
+        bucketKeysOf(quantized(r.vec), signsB.value, bands).map(k => (k, r.id))
+      }.toDF("bucket", idName)
+    val cKeys = keyed(corpus, "cid")
+    val sizes = cKeys.groupBy("bucket").agg(count(lit(1)).as("sz"))
+    val eligible = sizes.where(col("sz") <= maxBucketSize).select("bucket")
+    val candIds = keyed(queries, "qid")
+      .join(cKeys.join(eligible, "bucket"), "bucket")
+      .where(col("qid") =!= col("cid"))
+      .select("qid", "cid")
+      .dropDuplicates("qid", "cid") // ids only — no vectors in this shuffle
+    candIds
+      .join(queries.toDF("qid", "qvec"), "qid")
+      .join(corpus.toDF("cid", "cvec"), "cid")
+      .select(col("qid"), col("cid"), col("qvec"), col("cvec"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(_.map { case (qid, cid, a, b) =>
+        (qid, cid, denseCosine(a, b))
+      })
+      .toDF("qid", "cid", "cosine")
+  }
+
+  /** LSH-bucketed approximate top-k (production wrapper): candidates from
+    * [[lshCandidates]], per-query top-k window. */
   def lshTopK(
       spark: SparkSession,
       queries: Dataset[EmbeddingRow],
@@ -88,24 +152,13 @@ object SimilaritySearch {
       k: Int,
       numPlanes: Int = DefaultPlanes,
       bands: Int = DefaultBands,
-      seed: Long = 42L): DataFrame = {
-    import spark.implicits._
-    def withBuckets(ds: Dataset[EmbeddingRow]): DataFrame =
-      ds.flatMap { r =>
-        bucketKeys(signature(r.vec, numPlanes, seed), numPlanes, bands)
-          .map(b => (b, r.id, r.vec))
-      }.toDF("bucket", "id", "vec")
-    val q = withBuckets(queries).toDF("bucket", "qid", "qvec")
-    val c = withBuckets(corpus).toDF("bucket", "cid", "cvec")
-    val candidates = q.join(c, "bucket")
-      .where(col("qid") =!= col("cid"))
-      .dropDuplicates("qid", "cid")
-      .as[(Long, Long, Array[Float], Long, Array[Float])]
-      .mapPartitions(_.map { case (_, qid, qvec, cid, cvec) =>
-        (qid, cid, denseCosine(qvec, cvec))
-      })
-      .toDF("qid", "cid", "cosine")
-    candidates
+      seed: Long = 42L,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val dims = corpus.head().vec.length
+    val cands =
+      lshCandidates(spark, queries, corpus, hashSigns(numPlanes, dims, seed),
+        bands, maxBucketSize)
+    cands
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))))
       .where(col("rnk") <= k)

@@ -54,13 +54,18 @@ object EntityResolution {
     val blocks = store.getOrCreate("blocks")(
       Blocking.blockEntries(spark, feats).toDF())
       .as[Blocking.BlockEntry]
+    // the hot-block counter is forced AFTER the pairs snapshot commit so the
+    // cached block histogram serves both the pair join and the counter,
+    // then unpersists (on resume the stage replays and the thunk stays 0)
+    var droppedThunk: () => Long = () => 0L
     val pairs = store.getOrCreate("pairs") {
       val (p, dropped) = Blocking.candidatePairs(spark, blocks)
-      val nDropped = dropped()
-      if (nDropped > 0)
-        System.err.println(s"[graft] dropped $nDropped hot blocks over cap")
+      droppedThunk = dropped
       p.toDF()
     }.as[Blocking.CandidatePair]
+    val nDropped = droppedThunk()
+    if (nDropped > 0)
+      System.err.println(s"[graft] dropped $nDropped hot blocks over cap")
     val scored = store.getOrCreate("scored")(
       PairScoring.score(spark, pairs, feats).toDF())
     val edges = scored.where(col("isDuplicate"))
@@ -112,12 +117,13 @@ object EntityResolution {
     val feats = Blocking.features(spark, extracted)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val blocks = Blocking.blockEntries(spark, feats)
-    val (pairs, _) = Blocking.candidatePairs(spark, blocks)
+    val (pairs, dropped) = Blocking.candidatePairs(spark, blocks)
     val scored = PairScoring.score(spark, pairs, feats)
     val edges = scored.where(col("isDuplicate"))
       .select(col("src"), col("dst")).as[Edge]
     val assigned = ConnectedComponents.assign(spark, edges, feats.select(col("id")))
     val docs = assigned.count()
+    dropped() // forces the hot-block count AND unpersists the histogram
     feats.unpersist()
     extracted.unpersist()
     (docs, (System.nanoTime() - t0) / 1e9)

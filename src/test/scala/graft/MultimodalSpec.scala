@@ -40,13 +40,15 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
       MediaRow(2L, "audio", null)))
     val feats = Multimodal.extractFeatures(spark, rows).collect()
     assert(feats.map(_.byteLen).toSet == Set(0L))
+    // md5 of the empty payload, for both empty and null bytes
+    assert(feats.map(_.contentMd5).toSet == Set("d41d8cd98f00b204e9800998ecf8427e"))
   }
 
   test("frame-sample plan is evenly spaced within duration") {
     import spark.implicits._
     val feats = spark.createDataset(Seq(
-      MediaFeatures(7L, "video", 10L, 1L, 640, 360, 10000L, 20),
-      MediaFeatures(8L, "image", 10L, 1L, 640, 360, 0L, 0)))
+      MediaFeatures(7L, "video", 10L, 1L, "d41d8cd9", 640, 360, 10000L, 20),
+      MediaFeatures(8L, "image", 10L, 1L, "d41d8cd9", 640, 360, 0L, 0)))
     val plan = Multimodal.sampleFramePlan(spark, feats, 4).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(plan.forall(_._1 == 7L)) // images excluded

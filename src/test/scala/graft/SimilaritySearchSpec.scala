@@ -56,10 +56,37 @@ class SimilaritySearchSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   test("signatures and buckets are deterministic") {
     val vec = Array.tabulate(64)(i => (i % 7 - 3).toFloat)
-    val s1 = SimilaritySearch.signature(vec, 16, 42L)
-    val s2 = SimilaritySearch.signature(vec.clone(), 16, 42L)
-    assert(s1 == s2)
-    assert(SimilaritySearch.bucketKeys(s1, 16, 4).toSeq ==
-      SimilaritySearch.bucketKeys(s2, 16, 4).toSeq)
+    val signs = SimilaritySearch.hashSigns(96, 64, 42L)
+    val k1 = SimilaritySearch.bucketKeysOf(SimilaritySearch.quantized(vec), signs, 6)
+    val k2 = SimilaritySearch.bucketKeysOf(SimilaritySearch.quantized(vec.clone()), signs, 6)
+    assert(k1.toSeq == k2.toSeq)
+    assert(k1.length == 6)
+    // band index is baked into the key: keys of different bands never collide
+    assert(k1.map(_ / 4294967296L).toSeq == (0 until 6).map(_.toLong))
+  }
+
+  test("candidate volume grows ~linearly with corpus size (16-bit bands)") {
+    import spark.implicits._
+    // Perturbed copies double the corpus AND co-bucket with their sources.
+    // With 16-bit band keys, candidate volume must scale ~linearly in
+    // corpus size; a 16-bucket scheme (4-bit bands) would go ~quadratic.
+    def noisy(r: EmbeddingRow, salt: Long): EmbeddingRow = EmbeddingRow(
+      r.id + salt,
+      r.vec.zipWithIndex.map { case (x, i) =>
+        x + 0.01f * ((graft.functions.Hashing.hash64(salt, r.id, i) % 100) / 100.0f)
+      })
+    val corpus1 = embeddings
+    val corpus2 = corpus1.union(corpus1.map((r: EmbeddingRow) => noisy(r, 2000000L)))
+    val queries = corpus1.filter((r: EmbeddingRow) => r.id < 25)
+      .map((r: EmbeddingRow) => noisy(r, 1000000L))
+    val signs = SimilaritySearch.hashSigns(
+      SimilaritySearch.DefaultPlanes, 64, 42L)
+    val c1 = SimilaritySearch.lshCandidates(spark, queries, corpus1, signs).count()
+    val c2 = SimilaritySearch.lshCandidates(spark, queries, corpus2, signs).count()
+    assert(c1 > 0, "no candidates at base corpus")
+    assert(c2 <= 3 * c1 + 25, s"superlinear candidate growth: $c1 -> $c2")
+    // and the bucket join prunes hard vs the cross product
+    val n = corpus1.count()
+    assert(c1 < 25L * n / 2, s"candidates = $c1 of ${25L * n}")
   }
 }
