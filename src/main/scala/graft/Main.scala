@@ -16,6 +16,7 @@ object Main {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.expressions.GraftExtensions)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .appName("graft")
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions",

@@ -159,7 +159,16 @@ object Similarity {
       out(i) = h
       i += 1
     }
-    out.distinct.sorted
+    // sorted-distinct in place (no boxing, no second allocation unless
+    // duplicates exist)
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < out.length) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    if (w == out.length) out else java.util.Arrays.copyOfRange(out, 0, w)
   }
 
   /** MinHash signature: for permutation p, min over shingles of

@@ -91,12 +91,41 @@ object TextFunctions {
     sb.toString
   }
 
+  /** Greek + Cyrillic romanization (standard public transliteration — ISO
+    * 843-style for Greek, BGN/PCGN-style for Cyrillic, matching unidecode's
+    * choices for the common letters). Capital letters map through their
+    * lowercase entry with the first letter re-capitalized, like unidecode. */
+  private val GreekCyrillicLower: Map[Char, String] = Map(
+    // Greek
+    'α' -> "a", 'β' -> "b", 'γ' -> "g", 'δ' -> "d", 'ε' -> "e", 'ζ' -> "z",
+    'η' -> "e", 'θ' -> "th", 'ι' -> "i", 'κ' -> "k", 'λ' -> "l", 'μ' -> "m",
+    'ν' -> "n", 'ξ' -> "x", 'ο' -> "o", 'π' -> "p", 'ρ' -> "r", 'σ' -> "s",
+    'ς' -> "s", 'τ' -> "t", 'υ' -> "u", 'φ' -> "ph", 'χ' -> "kh",
+    'ψ' -> "ps", 'ω' -> "o",
+    // Cyrillic
+    'а' -> "a", 'б' -> "b", 'в' -> "v", 'г' -> "g", 'д' -> "d", 'е' -> "e",
+    'ж' -> "zh", 'з' -> "z", 'и' -> "i", 'й' -> "i", 'к' -> "k", 'л' -> "l",
+    'м' -> "m", 'н' -> "n", 'о' -> "o", 'п' -> "p", 'р' -> "r", 'с' -> "s",
+    'т' -> "t", 'у' -> "u", 'ф' -> "f", 'х' -> "kh", 'ц' -> "ts",
+    'ч' -> "ch", 'ш' -> "sh", 'щ' -> "shch", 'ъ' -> "", 'ы' -> "y",
+    'ь' -> "", 'э' -> "e", 'ю' -> "yu", 'я' -> "ya")
+
+  private def greekCyrillic(c: Char): Option[String] = {
+    val lower = Character.toLowerCase(c)
+    GreekCyrillicLower.get(lower).map { t =>
+      if (c != lower && t.nonEmpty) t.substring(0, 1).toUpperCase + t.substring(1)
+      else t
+    }
+  }
+
   /** ASCII-fold + lowercase + strip: the engine's `clean_entity`
     * (/root/reference/src/db.py:12-13 `unidecode(entity).lower().strip()`).
-    * Full unidecode is a transliteration table; we implement Latin-range
-    * folding (NFD decomposition + combining-mark strip + a small table for
-    * non-decomposable Latin letters), documented as an approximation — the
-    * synthetic corpus and goldens only exercise this range (SURVEY §7). */
+    * Full unidecode is a giant transliteration table; we implement Latin
+    * folding (NFD decomposition + combining-mark strip + a table for
+    * non-decomposable Latin letters) plus Greek/Cyrillic romanization —
+    * documented as an approximation for scripts beyond those (CJK etc.
+    * passes through); the corpus and goldens exercise the covered ranges
+    * (SURVEY §7). */
   def asciiFold(s: String): String = {
     if (s == null) return null
     val decomposed = Normalizer.normalize(s, Normalizer.Form.NFD)
@@ -123,7 +152,7 @@ object TextFunctions {
           case '’' | '‘' => "'"
           case '“' | '”' | '„' => "\""
           case other if other < 128 => other.toString
-          case other => other.toString
+          case other => greekCyrillic(other).getOrElse(other.toString)
         }
         sb.append(mapped)
       }

@@ -31,9 +31,8 @@ object Blocking {
       id: Long,
       url: String,
       normTitle: String,
-      tokenHashes: Array[Long], // sorted distinct, for Jaccard
-      tfKeys: Array[Long], // sorted, parallel to tfWeights (TF-IDF vector)
-      tfWeights: Array[Double],
+      tokenHashes: Array[Long], // sorted distinct: Jaccard set AND TF-IDF keys
+      tfWeights: Array[Double], // parallel to tokenHashes (TF-IDF vector)
       minhash: Array[Long],
       simhash: Long,
       numTokens: Int)
@@ -50,7 +49,67 @@ object Blocking {
     * auto-increment (SURVEY §1.2: stable across reruns/resume). */
   def docId(url: String): Long = hashString("doc:" + url)
 
-  def tokenHashesOf(text: String): Array[Long] =
+  /** Per-char ASCII folds for the Latin accent range (0x80..0x17F),
+    * precomputed once via the reference fold so the two paths cannot
+    * drift. Entries whose fold is not pure ASCII force the slow path. */
+  private val FoldTable: Array[String] =
+    Array.tabulate(0x180)(c =>
+      if (c < 0x80) null else TextFunctions.asciiFold(c.toChar.toString))
+
+  /** Token hashes of the ASCII-folded lowercased text — the hot per-doc
+    * kernel (runs twice per doc: df pass + sketch pass). ASCII and
+    * Latin-accent inputs (the overwhelming common case) take a fused
+    * single pass: per-char fold/lowercase/boundary-detect with the FNV-1a
+    * hash built incrementally — zero intermediate strings, token arrays,
+    * or byte buffers. Anything outside the fold table falls back to the
+    * reference composition (equality property-tested in PropertySpec). */
+  def tokenHashesOf(text: String): Array[Long] = {
+    if (text == null) return Array.empty
+    val out = Array.newBuilder[Long] // primitive builder — no boxing
+    var h = 0xcbf29ce484222325L
+    var inTok = false
+    val n = text.length
+
+    // FNV-1a step for one already-folded char; returns false if the char
+    // is outside the fused path's competence (forces the slow fallback)
+    def step(c0: Char): Boolean = {
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      if (c >= 0x80) return false
+      val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (alnum) {
+        // ASCII char == its single UTF-8 byte
+        h ^= c & 0xffL
+        h *= 0x100000001b3L
+        inTok = true
+      } else if (inTok) {
+        out += mix64(h)
+        h = 0xcbf29ce484222325L
+        inTok = false
+      }
+      true
+    }
+
+    var i = 0
+    while (i <= n) {
+      val c = if (i < n) text.charAt(i) else ' '
+      if (c < 0x80) {
+        step(c)
+      } else if (c < 0x180) {
+        val folded = FoldTable(c)
+        var j = 0
+        while (j < folded.length) {
+          if (!step(folded.charAt(j))) return tokenHashesSlow(text)
+          j += 1
+        }
+      } else return tokenHashesSlow(text)
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Reference composition (fold → lowercase-tokenize → hash), the
+    * semantics [[tokenHashesOf]]'s fused path must reproduce. */
+  private[graft] def tokenHashesSlow(text: String): Array[Long] =
     TextFunctions.wordTokens(TextFunctions.asciiFold(text)).map(hashString)
 
   /** Full feature table from extracted docs.
@@ -66,25 +125,65 @@ object Blocking {
     * feature stage at 56k docs) with one small shuffle plus map-only
     * weighting.
     *
+    * Truncation error bound: a dropped token has true df ≤ the K-th df, so
+    * its weight is over-stated by at most log((n+1)/2); dropped tokens are
+    * the Zipf tail, so the cosine perturbation is bounded by the tail's
+    * share of vector mass — negligible while K covers the head. The
+    * truncated-token count is reported via `onTruncation` (Profile prints
+    * it) and stderr.
+    *
     * `docs` is scanned twice (a cheap tokenize-only df pass, then the full
     * sketching pass) — callers should hand in a cached or snapshot-backed
     * Dataset; nothing is persisted internally. */
   def features(
       spark: SparkSession,
       docs: Dataset[ExtractedDoc],
-      maxDfTokens: Int = 1 << 22): Dataset[DocFeatures] = {
+      maxDfTokens: Int = 1 << 22,
+      onTruncation: Long => Unit = _ => ()): Dataset[DocFeatures] = {
     import spark.implicits._
-    // document frequency over distinct per-doc tokens: one shuffle, then
-    // top-K by frequency to bound the broadcast. A sentinel token emitted
-    // once per doc rides along, so the corpus count n needs no second job.
+    // document frequency over distinct per-doc tokens: one shuffle. A
+    // sentinel token counted once per doc rides along, so the corpus count
+    // n needs no second job. The (doc × distinct-token) stream is
+    // pre-reduced per partition in a primitive open-addressing map BEFORE
+    // any row encoding — the agg input shrinks from ~150 rows/doc to
+    // ~vocab-per-partition rows, cutting the dominant row-encode +
+    // hash-probe memory traffic of the df pass (the stage that showed the
+    // worst many-core bandwidth inflation).
     val SentinelToken = Long.MinValue
-    val dfRows = docs
-      .flatMap(d => tokenHashesOf(d.text).distinct :+ SentinelToken)
-      .toDF("token")
-      .groupBy("token").agg(count(lit(1)).as("df"))
-      .orderBy(col("df").desc, col("token"))
-      .limit(maxDfTokens)
-      .collect()
+    val grouped = docs
+      .mapPartitions { it =>
+        val m = new graft.functions.LongCountMap(1 << 14)
+        it.foreach { d =>
+          val ths = tokenHashesOf(d.text)
+          java.util.Arrays.sort(ths)
+          var i = 0
+          while (i < ths.length) {
+            var j = i
+            while (j < ths.length && ths(j) == ths(i)) j += 1
+            m.add(ths(i), 1L)
+            i = j
+          }
+          m.add(SentinelToken, 1L)
+        }
+        m.iterator
+      }
+      .toDF("token", "cnt")
+      .groupBy("token").agg(sum("cnt").as("df"))
+    // Common case: the vocabulary fits the broadcast budget — plain
+    // collect, NO global sort (CollectLimit probes for K+1 rows and stops).
+    // Overflow: global top-K by df keeps the head; the sentinel has df = n
+    // (no token exceeds it) and MinValue tiebreak, so it always survives.
+    val probe = grouped.limit(maxDfTokens + 1).collect()
+    val dfRows =
+      if (probe.length <= maxDfTokens) { onTruncation(0L); probe }
+      else {
+        val total = grouped.count()
+        val truncated = total - maxDfTokens
+        System.err.println(
+          s"[graft] IDF table truncated: $truncated of $total tokens beyond top-$maxDfTokens take df=1")
+        onTruncation(truncated)
+        grouped.orderBy(col("df").desc, col("token")).limit(maxDfTokens).collect()
+      }
     val n = dfRows.find(_.getLong(0) == SentinelToken)
       .map(_.getLong(1).toDouble).getOrElse(0.0)
     val real = dfRows.filter(_.getLong(0) != SentinelToken)
@@ -104,7 +203,8 @@ object Blocking {
       // minhash (rolling-hash shingles — no string concat)
       val raw = tokenHashesOf(d.text)
       val shingles = Similarity.shingleHashesFromTokenHashes(raw, ShingleSize)
-      val sorted = raw.sorted
+      val sorted = raw.clone()
+      java.util.Arrays.sort(sorted) // primitive sort — no boxing
       // run-length encode the sorted stream into (distinct, count) arrays
       val distinctB = Array.newBuilder[Long]
       val countB = Array.newBuilder[Double]
@@ -128,7 +228,7 @@ object Blocking {
         i += 1
       }
       DocFeatures(d.id, d.url, TextFunctions.cleanEntity(d.title), tokenHashes,
-        tokenHashes, weights,
+        weights,
         Similarity.minHashSignature(shingles, NumMinHashes),
         Similarity.simHash(raw), raw.length)
     }

@@ -1,64 +1,75 @@
 package graft.operators
 
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Edge
 
-/** Iterative transitive closure via alternating large-star / small-star as
-  * self-joining DataFrames (Kiveris et al., "Connected Components in
-  * MapReduce and Beyond", 2014) — the north rule's clustering stage. The
-  * reference's clustering is exact-key dedup into a UNIQUE(text) table
+/** Iterative transitive closure via alternating large-star / small-star
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond", 2014) —
+  * the north rule's clustering stage. The reference's clustering is
+  * exact-key dedup into a UNIQUE(text) table
   * (/root/reference/db/create_tables.sql:41, src/db.py:38-47); this is its
   * scale-out generalization for near-duplicate edges (SURVEY §2.7 X2).
   *
-  * Scale notes: each round is two shuffles (groupBy min + join), both
-  * partial-aggregatable; `localCheckpoint` per round truncates lineage so
-  * plans stay O(1); AQE handles skewed high-degree stars. Converges in
-  * O(log n) rounds; component ids are the component's minimum node id, so
-  * output is deterministic regardless of parallelism.
+  * Implementation: partitioner-preserving RDD rounds — the one place the
+  * engine drops below the DataFrame API, deliberately (SURVEY §7: iterative
+  * graph algorithms are the classic RDD case; GraphX itself is RDD-based):
+  *  - each round is ONE job of three stages (symmetrize-shuffle, orient-
+  *    shuffle, dedup-shuffle); the `reduceByKey` min and the `join` against
+  *    it reuse the round's HashPartitioner, so they add NO extra shuffle.
+  *    The equivalent DataFrame loop planned ~5 AQE stage-jobs per round —
+  *    pure driver/scheduling latency that does not shrink with executors
+  *    (it was the measured serial floor of the whole ER pass).
+  *  - convergence = (count, xor-of-edge-hashes) fingerprint computed by the
+  *    SAME action that materializes the round's localCheckpoint; superseded
+  *    checkpoints are unpersisted as soon as the next round materializes.
+  *  - component ids are the component's minimum node id — deterministic
+  *    regardless of parallelism or partition count.
+  * Skew note: a star root's degree equals its component size; rounds hash-
+  * partition by node id, so one giant component concentrates on one task
+  * only at the root — the same bound as the published algorithm.
   */
 object ConnectedComponents {
 
-  /** One large-star round: each node connects its LARGER neighbors to the
-    * minimum of its neighborhood (incl. itself). */
-  private def largeStar(edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("src").as("u"), col("dst").as("v"))
-      .union(edges.select(col("dst").as("u"), col("src").as("v")))
-    val mins = sym.groupBy("u")
-      .agg(min("v").as("nmin"))
-      .select(col("u"), least(col("u"), col("nmin")).as("m"))
-    sym.join(mins, "u")
-      .where(col("v") > col("u"))
-      .select(col("v").as("src"), col("m").as("dst"))
-      .distinct()
+  /** One large-star round over symmetric neighborhoods: connect every
+    * LARGER neighbor v of u to m = min(neighborhood(u) ∪ {u}). Duplicate
+    * output edges are fine — downstream is min-aggregation + dedup. */
+  private def largeStar(e: RDD[(Long, Long)], hp: HashPartitioner): RDD[(Long, Long)] = {
+    val sym = e.flatMap { case (s, d) => Iterator((s, d), (d, s)) }
+      .partitionBy(hp)
+    val mins = sym.reduceByKey(hp, (a: Long, b: Long) => math.min(a, b)) // no shuffle: same partitioner
+    sym.join(mins, hp) // no shuffle: both sides hp-partitioned
+      .flatMap { case (u, (v, nmin)) =>
+        val m = math.min(u, nmin)
+        if (v > u) Iterator((v, m)) else Iterator.empty
+      }
   }
 
-  /** One small-star round: orient edges toward the smaller endpoint; each
-    * node connects its smaller-or-equal neighbors (and itself) to the
-    * neighborhood minimum. */
-  private def smallStar(edges: DataFrame): DataFrame = {
-    val oriented = edges.select(
-      greatest(col("src"), col("dst")).as("u"),
-      least(col("src"), col("dst")).as("v"))
-    val mins = oriented.groupBy("u").agg(min("v").as("m"))
-    val relinked = oriented.join(mins, "u")
-      .where(col("v") =!= col("m"))
-      .select(col("v").as("src"), col("m").as("dst"))
-    val selfEdges = mins.select(col("u").as("src"), col("m").as("dst"))
-    relinked.union(selfEdges).distinct()
+  /** One small-star round: orient toward the smaller endpoint, connect each
+    * smaller-or-equal neighbor (and the center) to the neighborhood min. */
+  private def smallStar(e: RDD[(Long, Long)], hp: HashPartitioner): RDD[(Long, Long)] = {
+    val oriented = e.map { case (s, d) =>
+      if (s >= d) (s, d) else (d, s)
+    }.partitionBy(hp)
+    val mins = oriented.reduceByKey(hp, (a: Long, b: Long) => math.min(a, b)) // no shuffle
+    oriented.join(mins, hp) // no shuffle
+      .flatMap { case (u, (v, m)) =>
+        if (v != m) Iterator((v, m), (u, m)) else Iterator((u, m))
+      }
+      .distinct(hp.numPartitions)
   }
 
-  /** Cheap deterministic fingerprint for convergence detection: the edge
-    * set is stable when (count, xor of row hashes) stops changing. XOR is
-    * order-independent and cannot overflow under ANSI mode. */
-  private def fingerprint(edges: DataFrame): (Long, Long) = {
-    val row = edges.agg(
-      count(lit(1)).as("n"),
-      coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("h"))
-      .head()
-    (row.getLong(0), row.getLong(1))
-  }
+  /** Deterministic edge-set fingerprint (count, xor of mixed hashes) for
+    * convergence detection — order-independent, computed in the same action
+    * that materializes the round's checkpoint. */
+  private def fingerprint(e: RDD[(Long, Long)]): (Long, Long) =
+    e.aggregate((0L, 0L))(
+      (acc, p) => (acc._1 + 1L,
+        acc._2 ^ graft.functions.Hashing.hash64(p._1, p._2)),
+      (a, b) => (a._1 + b._1, a._2 ^ b._2))
 
   /** Component assignment for every vertex incident to `edges` plus every
     * vertex in `allVertices` (singletons map to themselves). Returns
@@ -68,29 +79,32 @@ object ConnectedComponents {
       edges: Dataset[Edge],
       allVertices: DataFrame, // single column "id"
       maxIterations: Int = 30): DataFrame = {
-    // non-eager checkpoints: the fingerprint action materializes the
-    // round's checkpoint AND computes the convergence stats in ONE job
-    // (an eager checkpoint + separate agg doubles the per-round job count,
-    // which is pure scheduling latency at any scale)
-    var e: DataFrame = edges.toDF()
-      .where(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"))
-      .distinct()
-      .localCheckpoint(eager = false)
+    import spark.implicits._
+    val partitions = spark.sessionState.conf.numShufflePartitions
+    val hp = new HashPartitioner(partitions)
+    var e: RDD[(Long, Long)] = edges.toDF()
+      .select(col("src"), col("dst")).as[(Long, Long)].rdd
+      .filter { case (s, d) => s != d }
+      .distinct(partitions)
+    e.localCheckpoint()
     var prev = (-1L, 0L)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
-      e = smallStar(largeStar(e)).localCheckpoint(eager = false)
-      val fp = fingerprint(e)
+      val superseded = e
+      e = smallStar(largeStar(e, hp), hp)
+      e.localCheckpoint()
+      val fp = fingerprint(e) // materializes this round's checkpoint...
+      superseded.unpersist(blocking = false) // ...freeing the last round's
       converged = fp == prev
       prev = fp
       iter += 1
     }
     // converged edge set is a forest of stars (child -> root)
-    val assignments = e.select(col("src").as("id"), col("dst").as("comp"))
-      .union(e.select(col("dst").as("id"), col("dst").as("comp")))
-      .groupBy("id").agg(min("comp").as("comp"))
+    val assignments = e
+      .flatMap { case (s, d) => Iterator((s, d), (d, d)) }
+      .reduceByKey(hp, (a: Long, b: Long) => math.min(a, b))
+      .toDF("id", "comp")
     allVertices.select(col("id"))
       .join(assignments, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))

@@ -26,7 +26,6 @@ object PairScoring {
       levenshteinRatio: Double,
       cosine: Double,
       jaccard: Double,
-      minhashSim: Double,
       isDuplicate: Boolean)
 
   /** Duplicate decision rule. Content similarity is primary (the labeled
@@ -50,27 +49,29 @@ object PairScoring {
       pairs: Dataset[CandidatePair],
       feats: Dataset[DocFeatures]): Dataset[ScoredPair] = {
     import spark.implicits._
+    // Payload discipline: ONLY what scoring reads rides the two join
+    // shuffles — tokenHashes doubles as the Jaccard set and the TF-IDF key
+    // array (one copy), titles are short, and the MinHash signature does
+    // NOT ship (it already did its job generating blocking keys upstream).
+    // At 100 TB the pair join is the biggest byte-mover in the pipeline;
+    // every field here is paid twice per candidate pair.
     val payload = feats.select(
-      col("id"), col("normTitle"), col("tokenHashes"),
-      col("tfKeys"), col("tfWeights"), col("minhash"))
-    val lhs = payload.toDF(
-      "src", "aTitle", "aTokens", "aKeys", "aWeights", "aMinhash")
-    val rhs = payload.toDF(
-      "dst", "bTitle", "bTokens", "bKeys", "bWeights", "bMinhash")
+      col("id"), col("normTitle"), col("tokenHashes"), col("tfWeights"))
+    val lhs = payload.toDF("src", "aTitle", "aTokens", "aWeights")
+    val rhs = payload.toDF("dst", "bTitle", "bTokens", "bWeights")
     pairs.toDF()
       .join(lhs, "src")
       .join(rhs, "dst")
-      .as[(Long, Long, String, Array[Long], Array[Long], Array[Double], Array[Long],
-        String, Array[Long], Array[Long], Array[Double], Array[Long])]
+      .as[(Long, Long, String, Array[Long], Array[Double],
+        String, Array[Long], Array[Double])]
       .mapPartitions { it =>
-        it.map { case (dst, src, aTitle, aTokens, aKeys, aWeights, aMinhash,
-            bTitle, bTokens, bKeys, bWeights, bMinhash) =>
+        it.map { case (dst, src, aTitle, aTokens, aWeights,
+            bTitle, bTokens, bWeights) =>
           val jw = jaroWinkler(aTitle, bTitle)
           val lev = levenshteinRatio(aTitle, bTitle)
-          val cos = sparseCosine(aKeys, aWeights, bKeys, bWeights)
+          val cos = sparseCosine(aTokens, aWeights, bTokens, bWeights)
           val jac = sortedJaccard(aTokens, bTokens)
-          val mh = minHashSimilarity(aMinhash, bMinhash)
-          ScoredPair(src, dst, jw, lev, cos, jac, mh, decide(jw, lev, cos, jac))
+          ScoredPair(src, dst, jw, lev, cos, jac, decide(jw, lev, cos, jac))
         }
       }
   }

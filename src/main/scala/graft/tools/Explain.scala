@@ -12,6 +12,7 @@ object Explain {
     val names = if (args.length > 1) args.tail.toSeq else graft.Queries.all.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.expressions.GraftExtensions)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")

@@ -14,6 +14,7 @@ object Profile {
     val nClusters = args.lift(1).getOrElse("30000").toLong
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.expressions.GraftExtensions)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.ui.enabled", "false")
@@ -35,7 +36,8 @@ object Profile {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("extract")(extracted.count())
     val feats = time("features") {
-      val f = graft.operators.Blocking.features(spark, extracted)
+      val f = graft.operators.Blocking.features(spark, extracted,
+        onTruncation = n => println(s"[profile] idfTruncatedTokens=$n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       f.count()
       f
@@ -47,9 +49,9 @@ object Profile {
       b
     }
     val pairs = time("pairs") {
-      val (p, _) = graft.operators.Blocking.candidatePairs(spark, blocks)
+      val (p, dropped) = graft.operators.Blocking.candidatePairs(spark, blocks)
       val pp = p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      println(s"[profile] numPairs=${pp.count()}")
+      println(s"[profile] numPairs=${pp.count()} hotBlocksDropped=${dropped()}")
       pp
     }
     val scored = time("score") {

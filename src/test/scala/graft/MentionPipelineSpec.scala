@@ -59,6 +59,29 @@ class MentionPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(train.collect().toSet == again.collect().toSet)
   }
 
+  test("A4 dense entity labels: dense 0..n-1 over entity ASC, prior join carries them") {
+    import spark.implicits._
+    val mentions = Seq(
+      (1L, "big apple", "New York City", "NYC"),
+      (2L, "ville lumiere", "Paris", "Paris"),
+      (3L, "paris", "Paris", "Paris"),
+      (4L, "alexandria", "Alexandria", "Alexandria"))
+      .toDF("page_id", "mention_text", "entity", "preredirect")
+    val labels = EntityPrior.entityLabels(mentions.select("entity"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // dense, 0-based, deterministic entity-ASC order (documented A4 deviation)
+    assert(labels == Map("Alexandria" -> 0L, "New York City" -> 1L, "Paris" -> 2L))
+    val labeled = EntityPrior.candidatePriorLabeled(spark, mentions, trainFraction = 1.0)
+      .collect().map(r => (r.getString(1), r.getString(0), r.getLong(2), r.getLong(3)))
+    // every prior row carries its entity's dense label
+    assert(labeled.nonEmpty)
+    assert(labeled.forall { case (entity, _, label, _) => labels(entity) == label })
+    // rerun yields identical labels (stability across runs)
+    val again = EntityPrior.entityLabels(mentions.select("entity"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == labels)
+  }
+
   test("IOBES export: one join + per-page group reproduces the golden") {
     import spark.implicits._
     val db = Fixtures.readTree("parade_page_db.json")

@@ -13,7 +13,7 @@ import graft.operators.Blocking.{CandidatePair, DocFeatures}
 class PairScoringSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   private def feat(id: Long, title: String, tokens: Seq[Long], w: Seq[Double]): DocFeatures =
-    DocFeatures(id, s"u$id", title, tokens.toArray, tokens.toArray, w.toArray,
+    DocFeatures(id, s"u$id", title, tokens.toArray, w.toArray,
       Similarity.minHashSignature(tokens.toArray, 20),
       Similarity.simHash(tokens.toArray), tokens.length)
 
@@ -31,9 +31,8 @@ class PairScoringSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(s12.jaroWinkler == Similarity.jaroWinkler("alpha beta", "alpha bets"))
     assert(s12.levenshteinRatio == Similarity.levenshteinRatio("alpha beta", "alpha bets"))
     assert(s12.cosine == Similarity.sparseCosine(
-      a.tfKeys, a.tfWeights, b.tfKeys, b.tfWeights))
+      a.tokenHashes, a.tfWeights, b.tokenHashes, b.tfWeights))
     assert(s12.jaccard == Similarity.sortedJaccard(a.tokenHashes, b.tokenHashes))
-    assert(s12.minhashSim == Similarity.minHashSimilarity(a.minhash, b.minhash))
 
     val s13 = scored((1L, 3L))
     assert(s13.cosine == 0.0 && s13.jaccard == 0.0)

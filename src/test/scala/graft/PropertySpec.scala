@@ -37,6 +37,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fused ASCII token-hash path == reference composition (fold/tokenize/hash)") {
+    val alphabets = Seq(
+      "abcdefghij XYZ 0123456789 .,;!? \t\n", // pure ASCII incl. upper + punct
+      "àéöüí ñ ç ß æ œ abc 42", // fold-range diacritics (slow path)
+      "mixed ASCII täil 007 end-case") // mixed
+    for (trial <- 0 until 200) {
+      val alpha = alphabets(trial % alphabets.length)
+      val len = Hashing.uniformInt(80, 7L, trial)
+      val s = (0 until len)
+        .map(i => alpha.charAt(Hashing.uniformInt(alpha.length, 8L, trial, i)))
+        .mkString
+      assert(Blocking.tokenHashesOf(s).toSeq == Blocking.tokenHashesSlow(s).toSeq,
+        s"trial $trial drift on '$s'")
+    }
+    assert(Blocking.tokenHashesOf("").isEmpty)
+    assert(Blocking.tokenHashesOf(null).isEmpty)
+  }
+
+  test("LongCountMap == java HashMap under random add storms (incl. 0 and MinValue keys)") {
+    for (trial <- 0 until 20) {
+      val m = new graft.functions.LongCountMap(16)
+      val ref = new java.util.HashMap[Long, Long]()
+      val n = 200 + Hashing.uniformInt(3000, 21L, trial)
+      for (i <- 0 until n) {
+        val key = Hashing.uniformInt(64, 22L, trial, i) match {
+          case 0 => 0L
+          case 1 => Long.MinValue
+          case k => Hashing.hash64(23L, trial, k.toLong)
+        }
+        val delta = 1L + Hashing.uniformInt(5, 24L, trial, i)
+        m.add(key, delta)
+        ref.merge(key, delta, _ + _)
+      }
+      import scala.jdk.CollectionConverters._
+      assert(m.iterator.toMap == ref.asScala.toMap, s"trial $trial")
+    }
+  }
+
   test("every cluster variant shares >=1 blocking key with its base (blocking recall)") {
     for (c <- 0L until 150L) {
       val docs = (0 until WebPagesGen.clusterSize(c)).map { v =>

@@ -8,6 +8,7 @@ object SparkTestSession {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .withExtensions(new graft.functions.expressions.GraftExtensions)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .appName("graft-test")
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -63,4 +63,15 @@ class TextFunctionsSpec extends AnyFunSuite {
   test("countOccurrences uses non-overlapping matches") {
     assert(countOccurrences("aa", "aaaa") == 2)
   }
+
+  test("asciiFold romanizes Greek and Cyrillic (unidecode-style)") {
+    assert(cleanEntity("Μόσχα") == "moskha") // NFD strips the tonos, then romanize
+    assert(cleanEntity("Αθήνα") == "athena")
+    assert(cleanEntity("Москва") == "moskva")
+    assert(cleanEntity("Хрущёв") == "khrushchev")
+    assert(cleanEntity("объект") == "obekt") // hard sign dropped
+    assert(asciiFold("Шостакович") == "Shostakovich") // capitals keep case
+    // scripts beyond the tables pass through (documented approximation)
+    assert(asciiFold("東京") == "東京")
+  }
 }
