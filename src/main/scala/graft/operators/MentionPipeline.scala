@@ -27,6 +27,22 @@ object MentionPipeline {
         PageProcessing.processPage(redirectsB.value.get _, p, isSeedPage))
   }
 
+  /** [[processPages]] fed by a [[RedirectLookup.build]] table instead of a
+    * caller-supplied Map — the end-to-end form of the reference's
+    * get_redirects_lookup() → process flow
+    * (/root/reference/src/scripts/create_entity_to_context.py:38): the
+    * lookup is built distributed (J1/P10/P11), then collected for the
+    * per-page broadcast path. Collect is appropriate at Wikipedia-redirect
+    * scale; for corpus-sized lookups use the exploded mention model +
+    * [[RedirectLookup.resolveEntities]] join instead. */
+  def processPagesWithLookup(
+      spark: SparkSession,
+      pages: Dataset[Page],
+      redirectLookup: org.apache.spark.sql.DataFrame,
+      isSeedPage: Boolean = false): Dataset[ProcessedPage] =
+    processPages(spark, pages,
+      RedirectLookup.collectLookup(redirectLookup), isSeedPage)
+
   /** X1 BFS link-graph expansion
     * (/root/reference/src/process_pages.py:50-70): seeds -> outlinks ->
     * fetch-unvisited -> process, `depth` layers. The frontier set-minus is

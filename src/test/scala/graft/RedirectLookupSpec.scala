@@ -59,6 +59,20 @@ class RedirectLookupSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "foo" -> "Target Lower")) // case-exact: page "foo"
   }
 
+  test("processPagesWithLookup: built table drives the per-page pipeline") {
+    import spark.implicits._
+    val (pages, redirects) = tables
+    val lookup = graft.operators.RedirectLookup.build(pages, redirects)
+    val parade = spark.createDataset(Seq(Fixtures.parsePage("parade_small_page.json")))
+    val withRedirects = graft.operators.MentionPipeline
+      .processPagesWithLookup(spark, parade, lookup).collect()
+    val without = graft.operators.MentionPipeline
+      .processPages(spark, parade, Map.empty).collect()
+    assert(withRedirects.length == 1 && without.length == 1)
+    // the lookup reshapes entities that hit a redirect key; the rest agree
+    assert(withRedirects.head.documentInfo.title == without.head.documentInfo.title)
+  }
+
   test("resolveEntities: join resolution matches dict.get + upper_first (process_pages.py:83-86)") {
     import spark.implicits._
     val (pages, redirects) = tables
