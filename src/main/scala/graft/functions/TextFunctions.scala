@@ -182,12 +182,6 @@ object TextFunctions {
     ImageFlags.exists(lower.contains)
   }
 
-  /** Whitespace tokenization used for blocking/shingles — engine-defined
-    * (not a reference port): split on Unicode whitespace, drop empties. */
-  def whitespaceTokens(s: String): Array[String] =
-    if (s == null || s.isEmpty) Array.empty
-    else s.split("\\s+").filter(_.nonEmpty)
-
   /** Word-ish tokens for similarity features: lowercase alphanumeric runs. */
   private val WordRun = "[\\p{L}\\p{N}]+".r
   def wordTokens(s: String): Array[String] =

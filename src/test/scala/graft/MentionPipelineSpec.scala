@@ -59,6 +59,34 @@ class MentionPipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(train.collect().toSet == again.collect().toSet)
   }
 
+  test("O4 pageIdOrder: seeded-hash rank is a deterministic non-identity permutation") {
+    import spark.implicits._
+    val pages = (1L to 200L).map(p => (p, s"x$p")).toDF("page_id", "junk")
+    val order = EntityPrior.pageIdOrder(pages, "page_id", seed = 42L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(order.map(_._2).sorted.toSeq == (1L to 200L)) // ranks are 1..n
+    assert(order.toMap.size == 200)
+    // shuffled, not id order (a hash order that degenerated to identity
+    // would silently turn the train split into a prefix split)
+    val byId = order.sortBy(_._1).map(_._2)
+    assert(byId.toSeq != (1L to 200L))
+    val again = EntityPrior.pageIdOrder(pages, "page_id", seed = 42L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(again.toMap == order.toMap) // stable across runs
+    assert(EntityPrior.pageIdOrder(pages, "page_id", seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap != order.toMap)
+  }
+
+  test("A2 numMentionsPerEntity: the decorrelated correlated-UPDATE counts") {
+    import spark.implicits._
+    val mentions = Seq(
+      (1L, "a", "Paris", "p"), (2L, "b", "Paris", "p"), (3L, "c", "Rome", "r"))
+      .toDF("page_id", "mention_text", "entity", "preredirect")
+    val counts = EntityPrior.numMentionsPerEntity(mentions)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("Paris" -> 2L, "Rome" -> 1L))
+  }
+
   test("A4 dense entity labels: dense 0..n-1 over entity ASC, prior join carries them") {
     import spark.implicits._
     val mentions = Seq(
