@@ -392,8 +392,10 @@ object Queries {
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------- q24
-  /** Brute-force top-k cosine ANN baseline: probe = min vec_id; sort key is
-    * the ROUNDED score + id so cross-engine ordering is stable. */
+  /** Brute-force top-k cosine ANN BASELINE (labeled as such — the
+    * production ANN path is q34's bucketed sign-LSH): probe = min vec_id;
+    * sort key is the ROUNDED score + id so cross-engine ordering is
+    * stable. */
   private val q24: Q = (s, d) => {
     val emb = t(s, d, "embeddings")
     val probe = emb.orderBy("vec_id").limit(1)
