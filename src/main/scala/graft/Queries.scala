@@ -847,6 +847,75 @@ object Queries {
       |  FROM k)
       |SELECT from_key, to_page FROM ranked WHERE rn = 1 ORDER BY from_key""".stripMargin
 
+  // ---------------------------------------------------------------- q37
+  /** Tumbling time buckets over the events stream table: hourly
+    * date_trunc + per-type aggregates — the batch form of a windowed
+    * streaming aggregation (money-exact via pre-agg decimal cast). */
+  private val q37: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+      .orderBy("bucket", "event_type")
+
+  private val q37Sql =
+    """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS cnt,
+      |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  /** Sessionization: per-user 30-minute-gap sessions via lag + running sum
+    * windows (both PARTITIONED by user — no global window). The classic
+    * training-data/events pipeline operator. */
+  private val q38: Q = (s, d) => {
+    t(s, d, "events").createOrReplaceTempView("graft_events")
+    s.sql(
+      """SELECT event_id, user_id, CAST(session_idx AS BIGINT) AS session_idx FROM (
+        |  SELECT event_id, user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM (
+        |    SELECT event_id, user_id, ts,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |             OR (unix_timestamp(ts) - unix_timestamp(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) > 1800
+        |           THEN 1 ELSE 0 END AS new_session
+        |    FROM graft_events))
+        |ORDER BY user_id, event_id""".stripMargin)
+  }
+
+  private val q38Sql =
+    """SELECT event_id, user_id, CAST(session_idx AS BIGINT) AS session_idx FROM (
+      |  SELECT event_id, user_id,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM (
+      |    SELECT event_id, user_id, ts,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |             OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+      |           THEN 1 ELSE 0 END AS new_session
+      |    FROM events))
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  /** JSON property extraction from the events props column (query-time
+    * JSON — absent from the reference, required of a webtext pipeline). */
+  private val q39: Q = (s, d) =>
+    t(s, d, "events")
+      .select(
+        col("event_type"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum("k").cast("long").as("sum_k"))
+      .orderBy("event_type")
+
+  private val q39Sql =
+    """SELECT event_type, count(*) AS cnt,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q01_group_agg" -> q01,
     "q02_filter_project" -> q02,
@@ -883,7 +952,10 @@ object Queries {
     "q33_jaro_winkler_expr" -> q33,
     "q34_ann_lsh" -> q34,
     "q35_entity_labels" -> q35,
-    "q36_redirect_lookup" -> q36)
+    "q36_redirect_lookup" -> q36,
+    "q37_time_buckets" -> q37,
+    "q38_sessionize" -> q38,
+    "q39_json_extract" -> q39)
 
   val oracles: Map[String, String] = Map(
     "q01_group_agg" -> q01Sql,
@@ -921,5 +993,8 @@ object Queries {
     "q32_escape_title_expr" -> q32Sql,
     "q33_jaro_winkler_expr" -> q33Sql,
     "q35_entity_labels" -> q35Sql,
-    "q36_redirect_lookup" -> q36Sql)
+    "q36_redirect_lookup" -> q36Sql,
+    "q37_time_buckets" -> q37Sql,
+    "q38_sessionize" -> q38Sql,
+    "q39_json_extract" -> q39Sql)
 }
