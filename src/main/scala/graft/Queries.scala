@@ -723,9 +723,13 @@ object Queries {
       .orderBy("qid", "rnk")
   }
 
-  private lazy val q34Sql = {
+  /** Shared DuckDB CTE chain reproducing the engine's quantized sign-LSH:
+    * quantize -> sign matrix -> integer plane dots -> band keys -> eligible
+    * (capped) buckets -> candidate pairs (filtered by `candPred`) -> exact
+    * rounded cosines. Used by q34 (top-k) and q40 (near-dup dedup). */
+  private def annCtes(candPred: String): String = {
     val bits = AnnPlanes / AnnBands
-    s"""WITH quant AS (
+    s"""quant AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
        |  FROM embeddings),
@@ -746,8 +750,8 @@ object Queries {
        |  SELECT DISTINCT qk.vec_id AS qid, ck.vec_id AS cid
        |  FROM keys qk
        |  JOIN keys ck ON qk.bucket = ck.bucket
-       |  JOIN eligible e ON e.bucket = qk.bucket
-       |  WHERE qk.vec_id < 20 AND qk.vec_id <> ck.vec_id),
+       |  JOIN eligible el ON el.bucket = qk.bucket
+       |  WHERE ($candPred) AND qk.vec_id <> ck.vec_id),
        |scored AS (
        |  SELECT c.qid, c.cid,
        |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -756,13 +760,16 @@ object Queries {
        |           * list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS cos_sim
        |  FROM cand c
        |  JOIN embeddings a ON a.vec_id = c.qid
-       |  JOIN embeddings b ON b.vec_id = c.cid),
+       |  JOIN embeddings b ON b.vec_id = c.cid)""".stripMargin
+  }
+
+  private lazy val q34Sql =
+    s"""WITH ${annCtes("qk.vec_id < 20")},
        |ranked AS (
        |  SELECT qid, cid, cos_sim,
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT) AS rnk
        |  FROM scored)
        |SELECT qid, cid, cos_sim, rnk FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
-  }
 
   /** Multimodal plumbing: opaque binary columns + typed metadata through
     * the batched Multimodal operator (decode is a marked stub — no media
@@ -846,6 +853,41 @@ object Queries {
       |      ORDER BY CASE WHEN from_key = from_page THEN 0 ELSE 1 END, to_page) AS rn
       |  FROM k)
       |SELECT from_key, to_page FROM ranked WHERE rn = 1 ORDER BY from_key""".stripMargin
+
+  // ---------------------------------------------------------------- q40
+  /** Embedding-cosine NEAR-DUP DEDUP (the last of the dedup family: exact
+    * q21, n-gram Jaccard q25, MinHash q27, SimHash q28): sign-LSH candidate
+    * pairs over ALL vectors -> rounded-cosine >= 0.9 edges -> connected
+    * components -> canonical (min) vector id per near-dup cluster. The
+    * oracle recomputes candidates via the shared ANN CTEs and the closure
+    * via a recursive CTE. */
+  private val q40: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.{ConnectedComponents, SimilaritySearch}
+    import graft.operators.SimilaritySearch.EmbeddingRow
+    val emb = t(s, d, "embeddings")
+      .selectExpr("vec_id AS id", "embedding AS vec").as[EmbeddingRow]
+    val cands = SimilaritySearch.lshCandidates(
+      s, emb, emb, SimilaritySearch.oracleSigns(AnnPlanes, AnnDims),
+      AnnBands, AnnCap)
+    val edges = cands.where(round(col("cosine"), 4) >= 0.9)
+      .select(col("qid").as("src"), col("cid").as("dst"))
+      .as[graft.model.Edge]
+    ConnectedComponents.assign(s, edges, emb.select(col("id")))
+      .select(col("id").as("vec_id"), col("comp").as("canonical"))
+      .orderBy("vec_id")
+  }
+
+  private lazy val q40Sql =
+    s"""WITH RECURSIVE ${annCtes("TRUE")},
+       |e(src, dst) AS (SELECT qid, cid FROM scored WHERE cos_sim >= 0.9),
+       |nodes(id) AS (SELECT vec_id FROM embeddings),
+       |reach(id, comp) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id)
+       |SELECT id AS vec_id, CAST(min(comp) AS BIGINT) AS canonical
+       |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------- q37
   /** Tumbling time buckets over the events stream table: hourly
@@ -955,7 +997,8 @@ object Queries {
     "q36_redirect_lookup" -> q36,
     "q37_time_buckets" -> q37,
     "q38_sessionize" -> q38,
-    "q39_json_extract" -> q39)
+    "q39_json_extract" -> q39,
+    "q40_embed_neardup" -> q40)
 
   val oracles: Map[String, String] = Map(
     "q01_group_agg" -> q01Sql,
@@ -996,5 +1039,6 @@ object Queries {
     "q36_redirect_lookup" -> q36Sql,
     "q37_time_buckets" -> q37Sql,
     "q38_sessionize" -> q38Sql,
-    "q39_json_extract" -> q39Sql)
+    "q39_json_extract" -> q39Sql,
+    "q40_embed_neardup" -> q40Sql)
 }

@@ -1,0 +1,140 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayInputStream, EOFException, InputStream}
+import java.sql.Timestamp
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.model.WebPage
+
+/** WARC ingest for Common-Crawl-style archives — the at-scale form of S1
+  * (SURVEY §2.1: "at real scale `spark.read.format("binaryFile")`/WARC
+  * reader"). Feeds the `webpages(url, warc_ts, html, text, lang)` table
+  * the rest of the pipeline reads.
+  *
+  * Scale shape: Common Crawl ships ~thousands of ~1 GB archives per
+  * segment; FILE-level parallelism (one task per archive via the
+  * binaryFile source) is the natural split — the same layout production
+  * CC Spark jobs use. Per-record gzip members (CC's compression scheme)
+  * decode with java.util.zip's multi-member GZIPInputStream; no external
+  * codecs.
+  *
+  * Parsing follows the public WARC/1.0 format (ISO 28500): records are a
+  * `WARC/…` version line, CRLF headers, a Content-Length payload, and a
+  * CRLF CRLF trailer. `response`/`conversion` records with a
+  * WARC-Target-URI are emitted; response payloads have their HTTP header
+  * block stripped so `html` is the raw body bytes.
+  */
+object WarcSource {
+
+  final case class WarcRecord(
+      url: String,
+      ts: Timestamp,
+      warcType: String,
+      body: Array[Byte])
+
+  /** Read a CRLF-terminated header line as ISO-8859-1 (header charset per
+    * spec); null at EOF. */
+  private def readLine(in: InputStream): String = {
+    val sb = new java.lang.StringBuilder(64)
+    var c = in.read()
+    if (c < 0) return null
+    while (c >= 0 && c != '\n') {
+      if (c != '\r') sb.append(c.toChar)
+      c = in.read()
+    }
+    sb.toString
+  }
+
+  private def readFully(in: InputStream, n: Long): Array[Byte] = {
+    if (n > Int.MaxValue) throw new EOFException(s"record too large: $n")
+    val buf = new Array[Byte](n.toInt)
+    var off = 0
+    while (off < buf.length) {
+      val r = in.read(buf, off, buf.length - off)
+      if (r < 0) throw new EOFException("truncated WARC payload")
+      off += r
+    }
+    buf
+  }
+
+  /** Offset just past the HTTP header block, or 0 if the payload is not an
+    * HTTP message (conversion records carry the body directly). */
+  private def httpBodyOffset(payload: Array[Byte]): Int = {
+    if (payload.length < 5 ||
+      !(payload(0) == 'H' && payload(1) == 'T' && payload(2) == 'T' && payload(3) == 'P'))
+      return 0
+    var i = 0
+    while (i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+        payload(i + 2) == '\r' && payload(i + 3) == '\n') return i + 4
+      i += 1
+    }
+    0
+  }
+
+  /** Stream-parse every record of one (decompressed) WARC stream. */
+  def parseWarcStream(in: InputStream): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = advance()
+
+      private def advance(): WarcRecord = {
+        while (true) {
+          var line = readLine(in)
+          while (line != null && line.isEmpty) line = readLine(in) // inter-record CRLFs
+          if (line == null) return null
+          if (!line.startsWith("WARC/")) return null // malformed tail: stop
+          val headers = scala.collection.mutable.Map.empty[String, String]
+          var h = readLine(in)
+          while (h != null && h.nonEmpty) {
+            val idx = h.indexOf(':')
+            if (idx > 0) headers(h.substring(0, idx).trim.toLowerCase) =
+              h.substring(idx + 1).trim
+            h = readLine(in)
+          }
+          val len = headers.get("content-length").map(_.toLong).getOrElse(0L)
+          val payload = readFully(in, len)
+          val warcType = headers.getOrElse("warc-type", "")
+          val uri = headers.get("warc-target-uri")
+          if ((warcType == "response" || warcType == "conversion") && uri.isDefined) {
+            val ts = headers.get("warc-date")
+              .map(d => Timestamp.from(java.time.Instant.parse(d)))
+              .getOrElse(new Timestamp(0L))
+            val off = if (warcType == "response") httpBodyOffset(payload) else 0
+            val body =
+              if (off == 0) payload
+              else java.util.Arrays.copyOfRange(payload, off, payload.length)
+            return WarcRecord(
+              // CC WARC-Target-URIs are sometimes <>-wrapped
+              uri.get.stripPrefix("<").stripSuffix(">"), ts, warcType, body)
+          }
+          // other record types (warcinfo, request, metadata): skip
+        }
+        null // unreachable
+      }
+
+      override def hasNext: Boolean = nextRec != null
+      override def next(): WarcRecord = {
+        val r = nextRec; nextRec = advance(); r
+      }
+    }
+
+  /** Read a directory (or glob) of `.warc` / `.warc.gz` files into the
+    * engine's webpages shape. `text`/`lang` are left empty — extraction
+    * (EntityResolution.extract) owns html→text with its byte-identical
+    * invariant, and language ID (LanguageId) runs downstream. */
+  def readPages(spark: SparkSession, path: String): Dataset[WebPage] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val base = new ByteArrayInputStream(bytes)
+        val in: InputStream =
+          if (p.endsWith(".gz")) new BufferedInputStream(new GZIPInputStream(base, 1 << 16))
+          else base
+        parseWarcStream(in).map(r =>
+          WebPage(url = r.url, warc_ts = r.ts, html = r.body, text = "", lang = ""))
+      }
+  }
+}
