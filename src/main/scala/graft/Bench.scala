@@ -28,6 +28,13 @@ import org.apache.spark.sql.SparkSession
   *    Override with SPARK_GRAFT_SCALE_LOW / SPARK_GRAFT_SCALE_HIGH.
   *  - corpus generation happens once, outside the timed region (its
   *    string-building memory traffic is scaffolding, not pipeline work).
+  *  - INTERLEAVED rounds (H,L,H,L,…), each pass in a FRESH SparkSession
+  *    (JIT warmth is JVM-wide and survives; cached blocks are
+  *    session-scoped and cannot survive): the round-2 driver artifact
+  *    measured 0.345 because all high-level passes ran in one contended
+  *    window (32→131 s monotone) before any low pass — interleaving makes
+  *    a co-tenant burst hit BOTH levels, and per-pass sessions make
+  *    within-session aging structurally impossible.
   *  - min-of-k passes per level (noisy co-tenants; min = least-contended
   *    observation of a deterministic computation); all raw pass times are
   *    reported in the JSON for transparency.
@@ -63,11 +70,26 @@ object Bench {
     // part 1: catalog queries. A crashing query is reported as -1.0 (not a
     // plausible-looking timing) so failures are distinguishable downstream.
     val spark = session(cpus, 3 * cpus)
-    // untimed session warmup: the alphabetically-first query otherwise
-    // absorbs ~6s of one-time parquet-footer/codegen/JIT cost
-    try spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count().count()
-    catch { case _: Throwable => () }
+    // untimed session warmup: without it the alphabetically-FIRST queries
+    // absorb the one-time parquet-footer/codegen/JIT cost of each operator
+    // family (r02 showed the scan-only warmup just migrated first-touch
+    // join cost from q01 into q02-q04) — prime a scan+agg, a shuffled join
+    // + a broadcast join, and a partitioned window so every family's
+    // first-touch cost lands here, not on a timed query
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().count()
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      val nat = spark.read.parquet(s"$sfDir/nation.parquet")
+      cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy("n_name").count().count()
+      cust.join(org.apache.spark.sql.functions.broadcast(nat),
+        cust("c_nationkey") === nat("n_nationkey")).count()
+      import org.apache.spark.sql.expressions.Window
+      cust.withColumn("rnk", org.apache.spark.sql.functions.row_number()
+        .over(Window.partitionBy("c_nationkey").orderBy("c_custkey")))
+        .where(org.apache.spark.sql.functions.col("rnk") <= 2).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -84,8 +106,7 @@ object Bench {
     val coresHigh = sys.env.getOrElse("SPARK_GRAFT_SCALE_HIGH", "4").toInt
     val partitions = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTITIONS",
       (3 * coresHigh).toString).toInt
-    val passesHigh = sys.env.getOrElse("SPARK_GRAFT_SCALE_PASSES_HIGH", "5").toInt
-    val passesLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_PASSES_LOW", "3").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "5").toInt
 
     // materialize the corpus once (north rule: the pipeline READS a table)
     val corpusDir = java.nio.file.Files
@@ -100,18 +121,25 @@ object Bench {
     setup.stop()
     System.gc()
 
-    def bestOf(cores: Int, passes: Int): (Long, Double, Seq[Double]) = {
+    // one pass = one FRESH session (stopped after): cached blocks cannot
+    // survive a pass; JIT-compiled code is JVM-wide and does survive, so
+    // every pass after the warmup runs warm code on a cold block manager
+    def onePass(cores: Int): (Long, Double) = {
       val spark = session(cores, partitions)
-      val runs = (1 to passes).map(_ => erPass(spark, corpusDir))
-      spark.stop()
-      System.gc() // free the stopped session's blocks before the next level
-      val best = runs.minBy(_._2)
-      (best._1, best._2, runs.map(_._2))
+      try erPass(spark, corpusDir)
+      finally { spark.stop(); System.gc() }
     }
-    // high level FIRST: any within-JVM aging then lands on the LOW run,
-    // which can only UNDERSTATE the reported efficiency — never inflate it
-    val (docsHigh, secHigh, rawHigh) = bestOf(coresHigh, passesHigh)
-    val (docsLow, secLow, rawLow) = bestOf(coresLow, passesLow)
+    // interleave H,L,H,L,…: a contended window degrades both levels
+    // symmetrically instead of poisoning one level wholesale (the r02
+    // driver artifact's failure mode)
+    val interleaved = (1 to rounds).map { _ =>
+      (onePass(coresHigh), onePass(coresLow))
+    }
+    val highRuns = interleaved.map(_._1)
+    val lowRuns = interleaved.map(_._2)
+    val (docsHigh, secHigh) = highRuns.minBy(_._2)
+    val (docsLow, secLow) = lowRuns.minBy(_._2)
+    val (rawHigh, rawLow) = (highRuns.map(_._2), lowRuns.map(_._2))
     val tputLow = docsLow / secLow
     val tputHigh = docsHigh / secHigh
     val ratio = coresHigh.toDouble / coresLow
@@ -121,7 +149,7 @@ object Bench {
     val total = results.map(_._2).sum
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
     val er =
-      f"""{"clusters":$erClusters,"docs":$docsHigh,"scaling":{"cores_low":$coresLow,"cores_high":$coresHigh,""" +
+      f"""{"clusters":$erClusters,"docs":$docsHigh,"scaling":{"protocol":"interleaved-fresh-session","cores_low":$coresLow,"cores_high":$coresHigh,""" +
         f""""partitions":$partitions,"sec_low":$secLow%.2f,"sec_high":$secHigh%.2f,""" +
         f""""passes_low":${arr(rawLow)},"passes_high":${arr(rawHigh)},""" +
         f""""docs_per_sec_low":$tputLow%.1f,"docs_per_sec_high":$tputHigh%.1f,""" +

@@ -443,15 +443,20 @@ object Queries {
   }
 
   /** LSH band-key entries per doc from the affine MinHash signature. */
-  private def bandEntries(s: SparkSession, d: String) = {
+  private def bandEntriesOf(
+      s: SparkSession,
+      docs: org.apache.spark.sql.Dataset[(Long, Seq[String])]) = {
     import s.implicits._
-    shingleDocs(s, d).flatMap { case (id, sh) =>
+    docs.flatMap { case (id, sh) =>
       val sig = Similarity.minHashSignatureAffine(
         sh.map(OracleHash.h32).toArray, MhA, MhB)
       Similarity.bandKeysPoly(sig, MinHashRows, OracleHash.BandMult, OracleHash.Mod)
         .map(k => Blocking.BlockEntry(k, id))
     }
   }
+
+  private def bandEntries(s: SparkSession, d: String) =
+    bandEntriesOf(s, shingleDocs(s, d))
 
   private def oh(e: String): String = OracleHash.sqlH32(e)
 
@@ -492,12 +497,23 @@ object Queries {
     * the affine-MinHash keys, the cap, and the scoring exactly. */
   private val q25: Q = (s, d) => {
     import s.implicits._
-    val docs = shingleDocs(s, d)
-    val (pairs, _) =
-      Blocking.candidatePairs(s, bandEntries(s, d), MaxBlockSz, persistSizes = false)
-    val a = docs.toDF("src_doc", "sh_a")
-    val b = docs.toDF("dst_doc", "sh_b")
-    pairs.toDF().select(col("src").as("src_doc"), col("dst").as("dst_doc"))
+    // The shingle table feeds THREE consumers (band-key generation + both
+    // payload-join sides); recomputing the scan→split→shingle chain 3× was
+    // ~half of q25's cost (VERDICT r02). Materialize it ONCE to
+    // session-local parquet — the idiomatic intermediate-table checkpoint
+    // at scale, and deterministic (no cached blocks to outlive the query,
+    // unlike persist() whose release can't be tied to a lazy result).
+    val shDir = java.nio.file.Files
+      .createTempDirectory("graft_q25_sh").resolve("sh").toString
+    shingleDocs(s, d).toDF("doc_id", "sh")
+      .write.mode("overwrite").parquet(shDir)
+    val docs = s.read.parquet(shDir)
+    val gen = Blocking.candidatePairs(
+      s, bandEntriesOf(s, docs.as[(Long, Seq[String])]), MaxBlockSz,
+      persistSizes = false)
+    val a = docs.select(col("doc_id").as("src_doc"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("dst_doc"), col("sh").as("sh_b"))
+    gen.pairs.toDF().select(col("src").as("src_doc"), col("dst").as("dst_doc"))
       .join(a, Seq("src_doc")).join(b, Seq("dst_doc"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .where(col("inter") > 0) // integer predicate — identical in both engines
@@ -664,8 +680,8 @@ object Queries {
     val extracted = graft.pipeline.EntityResolution.extract(s, pages)
     val feats = graft.operators.Blocking.features(s, extracted)
     val blocks = graft.operators.Blocking.blockEntries(s, feats)
-    val (pairs, _) =
-      graft.operators.Blocking.candidatePairs(s, blocks, persistSizes = false)
+    val pairs =
+      graft.operators.Blocking.candidatePairs(s, blocks, persistSizes = false).pairs
     val scored = graft.operators.PairScoring.score(s, pairs, feats)
     val edges = scored.where(col("isDuplicate"))
       .select(col("src"), col("dst")).as[graft.model.Edge]
@@ -772,10 +788,13 @@ object Queries {
        |SELECT qid, cid, cos_sim, rnk FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
 
   /** Multimodal plumbing: opaque binary columns + typed metadata through
-    * the batched Multimodal operator (decode is a marked stub — no media
-    * libs in-container; schema/partitioning/batch shape real). The oracle
-    * checks the SQL-expressible features (byte length, md5 content
-    * fingerprint, modality routing); stub decode fields are unit-tested. */
+    * the batched Multimodal operator. Image rows carry REAL PNG headers
+    * (synthesized with deterministic dimensions) and the operator decodes
+    * width×height from the IHDR bytes — oracle-checked, since the DuckDB
+    * side reconstructs the exact same blob and dimension arithmetic.
+    * Audio/video decode stays a marked stub (no codecs in-container);
+    * their oracle columns are the codec-free features (byte length,
+    * hex-md5 content fingerprint, modality routing). */
   private val q30: Q = (s, d) => {
     import s.implicits._
     import graft.operators.Multimodal
@@ -784,22 +803,44 @@ object Queries {
         val modality = (id % 4) match {
           case 0 => "image"; case 1 => "audio"; case 2 => "video"; case _ => "text"
         }
-        val bytes = (if (text == null) "" else text)
+        val payload = (if (text == null) "" else text)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val bytes =
+          if (modality == "image")
+            Multimodal.pngHeader(
+              (320 + id % 1600).toInt, (240 + id % 900).toInt) ++ payload
+          else payload
         Multimodal.MediaRow(id, modality, bytes)
       }
     Multimodal.extractFeatures(s, media).toDF()
       .select(col("id"), col("modality"),
-        col("byteLen").as("byte_len"), col("contentMd5").as("content_md5"))
+        col("byteLen").as("byte_len"),
+        col("contentHexMd5").as("content_fp"),
+        // stub-decoded video dims are not oracle-expressible; the image
+        // branch's REAL header decode is
+        when(col("modality") === "image", col("width").cast("long"))
+          .otherwise(0L).as("img_width"),
+        when(col("modality") === "image", col("height").cast("long"))
+          .otherwise(0L).as("img_height"))
       .orderBy("id")
   }
 
   private val q30Sql =
-    """SELECT doc_id AS id,
-      |  CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' WHEN 2 THEN 'video' ELSE 'text' END AS modality,
-      |  CAST(strlen(text) AS BIGINT) AS byte_len,
-      |  md5(text) AS content_md5
-      |FROM documents ORDER BY id""".stripMargin
+    """WITH m AS (
+      |  SELECT doc_id AS id,
+      |    CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' WHEN 2 THEN 'video' ELSE 'text' END AS modality,
+      |    CASE WHEN doc_id % 4 = 0 THEN
+      |      from_hex(concat('89504e470d0a1a0a0000000d49484452',
+      |        printf('%08x', 320 + doc_id % 1600), printf('%08x', 240 + doc_id % 900),
+      |        '0806000000', '00000000')) || encode(text)
+      |    ELSE encode(text) END AS bytes,
+      |    CASE WHEN doc_id % 4 = 0 THEN 320 + doc_id % 1600 ELSE 0 END AS w,
+      |    CASE WHEN doc_id % 4 = 0 THEN 240 + doc_id % 900 ELSE 0 END AS h
+      |  FROM documents)
+      |SELECT id, modality, CAST(octet_length(bytes) AS BIGINT) AS byte_len,
+      |  md5(hex(bytes)) AS content_fp,
+      |  CAST(w AS BIGINT) AS img_width, CAST(h AS BIGINT) AS img_height
+      |FROM m ORDER BY id""".stripMargin
 
   // ---------------------------------------------------------------- q35
   /** A4 dense first-seen entity labels (EntityPrior.entityLabels): dense
@@ -892,17 +933,25 @@ object Queries {
   // ---------------------------------------------------------------- q37
   /** Tumbling time buckets over the events stream table: hourly
     * date_trunc + per-type aggregates — the batch form of a windowed
-    * streaming aggregation (money-exact via pre-agg decimal cast). */
+    * streaming aggregation (money-exact via pre-agg decimal cast).
+    * The bucket is emitted as BIGINT epoch seconds, not a raw timestamp:
+    * timestamp serialization (parquet instant vs DuckDB naive TIMESTAMP)
+    * diverges at the driver's hash layer even when the values agree, so
+    * the only engine-neutral representation is integer seconds (session
+    * TZ pinned UTC in Verify). */
   private val q37: Q = (s, d) =>
     t(s, d, "events")
-      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).cast("long").as("bucket"),
+        col("event_type"))
       .agg(
         count(lit(1)).as("cnt"),
         sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
       .orderBy("bucket", "event_type")
 
   private val q37Sql =
-    """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS cnt,
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+      |  event_type, count(*) AS cnt,
       |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 

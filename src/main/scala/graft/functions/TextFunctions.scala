@@ -165,6 +165,25 @@ object TextFunctions {
   def cleanEntity(entity: String): String =
     if (entity == null) null else asciiFold(entity).toLowerCase.trim
 
+  /** Count of code units that survive `asciiFold` non-ASCII — the
+    * observable passthrough for scripts outside the covered ranges
+    * (Latin/NFD, Greek, Cyrillic; CJK/Arabic/Indic pass through where the
+    * reference's unidecode transliterates totally,
+    * /root/reference/src/db.py:12-13). Surfaced per-corpus by
+    * `tools.Profile` so silent mis-normalization is measurable, not
+    * invisible. */
+  def foldResidue(s: String): Int = {
+    if (s == null) return 0
+    val folded = asciiFold(s)
+    var n = 0
+    var i = 0
+    while (i < folded.length) {
+      if (folded.charAt(i) >= 128) n += 1
+      i += 1
+    }
+    n
+  }
+
   private val ImageFlags =
     Seq(".jpg", ".svg", ".png", ".gif", ".jpeg", ".bmp", ".tiff")
   private val PageFlags = ImageFlags :+ "(disambiguation)"

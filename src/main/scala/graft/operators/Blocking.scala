@@ -245,36 +245,46 @@ object Blocking {
     }
   }
 
+  /** Candidate-pair generation handle: the pairs dataset, a hot-block
+    * counter (one extra job when forced), and a deterministic `release` of
+    * the persisted block histogram. `release` is idempotent and BLOCKING —
+    * callers own the lifecycle explicitly (try/finally) instead of cleanup
+    * being coupled to whether the counter thunk happens to run; forcing
+    * the counter after release still works (the histogram recomputes). */
+  final case class CandidatePairGen(
+      pairs: Dataset[CandidatePair],
+      hotBlocks: () => Long,
+      release: () => Unit)
+
   /** Candidate pairs from block co-membership with stop-block removal.
-    * Returns (pairs, droppedHotBlocks-thunk — forcing it costs one extra
-    * job, so callers that don't report it pay nothing). Pair generation
-    * streams out of `flatMapGroups` lazily; within-block work is
-    * O(|block|²) bounded by `maxBlockSize`. Pairs are de-duplicated across
-    * keys (one scoring per pair regardless of how many keys co-locate it)
-    * and salted-repartitioned by pair hash so the scoring stage is
-    * skew-free by construction. */
+    * Pair generation streams out of `flatMapGroups` lazily; within-block
+    * work is O(|block|²) bounded by `maxBlockSize`. Pairs are
+    * de-duplicated across keys (one scoring per pair regardless of how
+    * many keys co-locate it) and salted-repartitioned by pair hash so the
+    * scoring stage is skew-free by construction. */
   def candidatePairs(
       spark: SparkSession,
       entries: Dataset[BlockEntry],
       maxBlockSize: Int = DefaultMaxBlockSize,
-      persistSizes: Boolean = true): (Dataset[CandidatePair], () => Long) = {
+      persistSizes: Boolean = true): CandidatePairGen = {
     import spark.implicits._
     val sizesBase = entries.groupBy("key").agg(count(lit(1)).as("sz"))
     // persistSizes=true shares one computation of the block histogram
-    // between the pair join and the hot-block counter; the counter thunk
-    // unpersists after counting, so a caller that (a) materializes pairs
-    // and then (b) forces the thunk leaks nothing. Callers that never
-    // force the thunk (lazy catalog queries) should pass false and pay
-    // one histogram recompute instead of a dangling cache entry.
+    // between the pair join and the hot-block counter; the caller MUST
+    // call `release()` (try/finally) once pairs have materialized.
+    // Callers that never force the counter and run the pairs lazily
+    // (catalog queries) should pass false and pay one histogram recompute
+    // instead of managing a cache entry.
     val sizes =
       if (persistSizes)
         sizesBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else sizesBase
-    val hotBlocks = () => {
-      val n = sizes.where(col("sz") > maxBlockSize).count()
-      if (persistSizes) sizes.unpersist()
-      n
-    }
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val release = () =>
+      if (persistSizes && released.compareAndSet(false, true)) {
+        sizes.unpersist(blocking = true); ()
+      }
+    val hotBlocks = () => sizes.where(col("sz") > maxBlockSize).count()
     val eligible = entries.join(
       sizes.where(col("sz") >= 2 && col("sz") <= maxBlockSize), "key")
       .select(col("key"), col("id")).as[BlockEntry]
@@ -293,6 +303,6 @@ object Blocking {
       // partitioned, skew-free regardless of block sizes. No extra shuffle.
       .dropDuplicates("src", "dst")
       .as[CandidatePair]
-    (pairs, hotBlocks)
+    CandidatePairGen(pairs, hotBlocks, release)
   }
 }

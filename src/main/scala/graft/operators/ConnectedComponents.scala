@@ -95,18 +95,33 @@ object ConnectedComponents {
       e = smallStar(largeStar(e, hp), hp)
       e.localCheckpoint()
       val fp = fingerprint(e) // materializes this round's checkpoint...
-      superseded.unpersist(blocking = false) // ...freeing the last round's
+      superseded.unpersist(blocking = true) // ...freeing the last round's
       converged = fp == prev
       prev = fp
       iter += 1
     }
-    // converged edge set is a forest of stars (child -> root)
+    // Converged edge set is a forest of stars (child -> root). The final
+    // assignment table is materialized to session-local parquet and every
+    // checkpoint released (BLOCKING) before returning: the caller gets a
+    // DataFrame with NO dependency on cached blocks, so repeated pipeline
+    // passes in one session cannot accumulate storage (asserted in
+    // EntityResolutionSpec). This is also the at-scale shape — cluster
+    // assignments are an output TABLE, not a lineage hanging off 20
+    // iterative rounds. Cost: one write+read of the (id, comp) pairs.
+    if (prev._1 == 0L) { // no edges at all: everyone is a singleton
+      e.unpersist(blocking = true)
+      return allVertices.select(col("id"), col("id").as("comp"))
+    }
     val assignments = e
       .flatMap { case (s, d) => Iterator((s, d), (d, d)) }
       .reduceByKey(hp, (a: Long, b: Long) => math.min(a, b))
       .toDF("id", "comp")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_cc_assign").resolve("assignments").toString
+    assignments.write.mode("overwrite").parquet(outDir)
+    e.unpersist(blocking = true)
     allVertices.select(col("id"))
-      .join(assignments, Seq("id"), "left")
+      .join(spark.read.parquet(outDir), Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 }

@@ -10,11 +10,12 @@ import graft.functions.Hashing
   * analog of `mapInPandas` — fixed-size batches amortize per-call setup
   * exactly like Arrow record batches do).
   *
-  * The DECODE STEP IS A STUB: this container ships no media codecs, so
-  * `decodeStub` derives deterministic fake dimensions/durations from the
-  * content hash (clearly marked; swap in a real codec per modality in
-  * deployment). Everything around it — schema, batch shape, partition
-  * behavior, null handling — is real and tested.
+  * IMAGE dimensions are decoded FOR REAL: PNG IHDR and JPEG SOF markers
+  * carry width×height in plain header bytes, no codec needed
+  * (`parseImageDims`). Audio/video decode remains a clearly-marked stub
+  * (`decodeStub` — the container ships no media codecs); everything around
+  * it — schema, batch shape, partition behavior, null handling — is real
+  * and tested.
   */
 object Multimodal {
 
@@ -26,6 +27,9 @@ object Multimodal {
       byteLen: Long,
       contentHash: Long,
       contentMd5: String, // md5 hex of the payload — dedup fingerprint
+      contentHexMd5: String, // md5 of uppercase-hex(payload): the oracle-
+      // expressible fingerprint variant (DuckDB 1.0 md5 is VARCHAR-only,
+      // so the engine-neutral form hashes the hex encoding, not the blob)
       width: Int, // images/video; 0 otherwise
       height: Int,
       durationMs: Long, // audio/video; 0 otherwise
@@ -33,8 +37,82 @@ object Multimodal {
 
   val BatchSize = 64
 
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Real pure-JVM image-header decode — dimensions live in plain header
+    * bytes, no codec required (PNG spec: the 8-byte signature is followed
+    * by the IHDR chunk whose first 8 data bytes are big-endian
+    * width/height; JPEG/JFIF: the SOFn segment carries big-endian
+    * height/width at data offsets 1/3). Returns None when the bytes are
+    * neither format or the header is truncated. */
+  def parseImageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes == null) return None
+    // PNG: sig(8) len(4) 'IHDR'(4) width(4) height(4)
+    if (bytes.length >= 24 &&
+      (0 until 8).forall(i => bytes(i) == PngSignature(i)) &&
+      bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R')
+      return Some((be32(bytes, 16), be32(bytes, 20)))
+    // JPEG: SOI (FFD8), then marker segments; SOFn (C0-CF except the
+    // non-frame C4/C8/CC) = len(2) precision(1) height(2) width(2)
+    if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 3 < bytes.length) {
+        if ((bytes(i) & 0xff) != 0xff) return None // lost sync: not a JPEG stream
+        val marker = bytes(i + 1) & 0xff
+        if (marker == 0xff) { i += 1 } // fill bytes before a marker
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i += 2 // standalone
+        else if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (i + 8 < bytes.length)
+            return Some((be16(bytes, i + 7), be16(bytes, i + 5)))
+          return None
+        } else {
+          val segLen = be16(bytes, i + 2)
+          if (segLen < 2) return None
+          i += 2 + segLen
+        }
+      }
+      return None
+    }
+    None
+  }
+
+  /** Synthesize a minimal, well-formed PNG header (33 bytes: signature +
+    * IHDR with the given dimensions; CRC left zero — the oracle cannot
+    * compute CRC32 and `parseImageDims` reads dimensions only). Used by
+    * the generator-side of q30 and the specs. */
+  def pngHeader(width: Int, height: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(33)
+    out.put(PngSignature)
+    out.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    out.putInt(width).putInt(height)
+    out.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    out.putInt(0) // CRC (unvalidated by dimension readers)
+    out.array()
+  }
+
+  /** Decode dispatch: REAL header parse for images (PNG/JPEG), stub for
+    * the codec-requiring modalities. */
+  def decode(modality: String, bytes: Array[Byte]): (Int, Int, Long, Int) =
+    modality match {
+      case "image" =>
+        parseImageDims(bytes)
+          .map { case (w, h) => (w, h, 0L, 0) }
+          .getOrElse(decodeStub(modality, bytes))
+      case _ => decodeStub(modality, bytes)
+    }
+
   /** STUB decode: deterministic pseudo-metadata from the content hash.
-    * Replace with a real codec (e.g. image header parse) in deployment. */
+    * Replace with a real codec (audio/video; unparseable images) in
+    * deployment — this container ships no media codecs. */
   def decodeStub(modality: String, bytes: Array[Byte]): (Int, Int, Long, Int) = {
     val h = Hashing.hash64(bytes.length.toLong,
       if (bytes.nonEmpty) bytes(0).toLong else 0L,
@@ -65,12 +143,17 @@ object Multimodal {
         // call (the Arrow-record-batch shape of mapInPandas)
         batch.iterator.map { m =>
           val bytes = if (m.bytes == null) Array.empty[Byte] else m.bytes
-          val (w, hgt, dur, frames) = decodeStub(m.modality, bytes)
+          val (w, hgt, dur, frames) = decode(m.modality, bytes)
           md5.reset()
           val hex = md5.digest(bytes).map(b => f"${b & 0xff}%02x").mkString
+          md5.reset()
+          val hexFp = md5
+            .digest(bytes.map(b => f"${b & 0xff}%02X").mkString
+              .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            .map(b => f"${b & 0xff}%02x").mkString
           MediaFeatures(m.id, m.modality, bytes.length.toLong,
             Hashing.hash64(bytes.length.toLong, bytes.take(8).map(_.toLong).sum),
-            hex, w, hgt, dur, frames)
+            hex, hexFp, w, hgt, dur, frames)
         }
       }
     }

@@ -55,17 +55,22 @@ object EntityResolution {
       Blocking.blockEntries(spark, feats).toDF())
       .as[Blocking.BlockEntry]
     // the hot-block counter is forced AFTER the pairs snapshot commit so the
-    // cached block histogram serves both the pair join and the counter,
-    // then unpersists (on resume the stage replays and the thunk stays 0)
-    var droppedThunk: () => Long = () => 0L
-    val pairs = store.getOrCreate("pairs") {
-      val (p, dropped) = Blocking.candidatePairs(spark, blocks)
-      droppedThunk = dropped
-      p.toDF()
-    }.as[Blocking.CandidatePair]
-    val nDropped = droppedThunk()
-    if (nDropped > 0)
-      System.err.println(s"[graft] dropped $nDropped hot blocks over cap")
+    // cached block histogram serves both the pair join and the counter; the
+    // histogram is then released deterministically (blocking unpersist) in
+    // the finally — no storage block outlives the stage regardless of
+    // which path (fresh run / resume / failure) executes
+    var gen: Option[Blocking.CandidatePairGen] = None
+    val pairs =
+      try {
+        val committed = store.getOrCreate("pairs") {
+          val g = Blocking.candidatePairs(spark, blocks)
+          gen = Some(g)
+          g.pairs.toDF()
+        }.as[Blocking.CandidatePair]
+        gen.map(_.hotBlocks()).filter(_ > 0).foreach(n =>
+          System.err.println(s"[graft] dropped $n hot blocks over cap"))
+        committed
+      } finally gen.foreach(_.release())
     val scored = store.getOrCreate("scored")(
       PairScoring.score(spark, pairs, feats).toDF())
     val edges = scored.where(col("isDuplicate"))
@@ -131,15 +136,23 @@ object EntityResolution {
     val feats = Blocking.features(spark, extracted)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val blocks = Blocking.blockEntries(spark, feats)
-    val (pairs, dropped) = Blocking.candidatePairs(spark, blocks)
-    val scored = PairScoring.score(spark, pairs, feats)
-    val edges = scored.where(col("isDuplicate"))
-      .select(col("src"), col("dst")).as[Edge]
-    val assigned = ConnectedComponents.assign(spark, edges, feats.select(col("id")))
-    val docs = assigned.count()
-    dropped() // forces the hot-block count AND unpersists the histogram
-    feats.unpersist()
-    extracted.unpersist()
+    val gen = Blocking.candidatePairs(spark, blocks)
+    val docs =
+      try {
+        val scored = PairScoring.score(spark, gen.pairs, feats)
+        val edges = scored.where(col("isDuplicate"))
+          .select(col("src"), col("dst")).as[Edge]
+        val assigned = ConnectedComponents.assign(spark, edges, feats.select(col("id")))
+        assigned.count()
+      } finally {
+        // deterministic, BLOCKING cleanup: a repeated-pass session must end
+        // each pass with zero surviving storage blocks (asserted in
+        // EntityResolutionSpec) — cleanup coupled to GC or to an optional
+        // counter thunk is exactly the leak shape of degrading bench passes
+        gen.release()
+        feats.unpersist(blocking = true)
+        extracted.unpersist(blocking = true)
+      }
     (docs, (System.nanoTime() - t0) / 1e9)
   }
 

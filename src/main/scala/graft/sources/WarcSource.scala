@@ -74,44 +74,77 @@ object WarcSource {
     0
   }
 
-  /** Stream-parse every record of one (decompressed) WARC stream. */
-  def parseWarcStream(in: InputStream): Iterator[WarcRecord] =
+  /** Stream-parse every record of one (decompressed) WARC stream.
+    * Malformed records never propagate out of the iterator — one bad
+    * record in a ~1 GB archive must not kill that file's whole ingest
+    * task. Recoverable damage (bad WARC-Date) falls back per-field; a
+    * corrupt Content-Length or truncated payload makes the rest of the
+    * stream unframeable (record boundaries ARE the length), so the stream
+    * is abandoned at that point and `onSkip` is told why. */
+  def parseWarcStream(
+      in: InputStream,
+      onSkip: String => Unit = _ => ()): Iterator[WarcRecord] =
     new Iterator[WarcRecord] {
       private var nextRec: WarcRecord = advance()
 
       private def advance(): WarcRecord = {
-        while (true) {
-          var line = readLine(in)
-          while (line != null && line.isEmpty) line = readLine(in) // inter-record CRLFs
-          if (line == null) return null
-          if (!line.startsWith("WARC/")) return null // malformed tail: stop
-          val headers = scala.collection.mutable.Map.empty[String, String]
-          var h = readLine(in)
-          while (h != null && h.nonEmpty) {
-            val idx = h.indexOf(':')
-            if (idx > 0) headers(h.substring(0, idx).trim.toLowerCase) =
-              h.substring(idx + 1).trim
-            h = readLine(in)
+        try {
+          while (true) {
+            var line = readLine(in)
+            while (line != null && line.isEmpty) line = readLine(in) // inter-record CRLFs
+            if (line == null) return null
+            if (!line.startsWith("WARC/")) {
+              onSkip(s"non-WARC framing line, abandoning stream tail: " +
+                line.take(64))
+              return null
+            }
+            val headers = scala.collection.mutable.Map.empty[String, String]
+            var h = readLine(in)
+            while (h != null && h.nonEmpty) {
+              val idx = h.indexOf(':')
+              if (idx > 0) headers(h.substring(0, idx).trim.toLowerCase) =
+                h.substring(idx + 1).trim
+              h = readLine(in)
+            }
+            val lenOpt = headers.get("content-length") match {
+              case Some(v) =>
+                val parsed = v.toLongOption.filter(_ >= 0)
+                if (parsed.isEmpty)
+                  onSkip(s"unparseable Content-Length '$v' — record boundaries " +
+                    "are lost, abandoning stream tail")
+                parsed
+              case None => Some(0L)
+            }
+            if (lenOpt.isEmpty) return null
+            val payload = readFully(in, lenOpt.get)
+            val warcType = headers.getOrElse("warc-type", "")
+            val uri = headers.get("warc-target-uri")
+            if ((warcType == "response" || warcType == "conversion") && uri.isDefined) {
+              val ts = headers.get("warc-date")
+                .flatMap(d =>
+                  scala.util.Try(Timestamp.from(java.time.Instant.parse(d)))
+                    .recover { case _ => onSkip(s"bad WARC-Date '$d', using epoch 0")
+                      new Timestamp(0L) }.toOption)
+                .getOrElse(new Timestamp(0L))
+              val off = if (warcType == "response") httpBodyOffset(payload) else 0
+              val body =
+                if (off == 0) payload
+                else java.util.Arrays.copyOfRange(payload, off, payload.length)
+              return WarcRecord(
+                // CC WARC-Target-URIs are sometimes <>-wrapped
+                uri.get.stripPrefix("<").stripSuffix(">"), ts, warcType, body)
+            }
+            // other record types (warcinfo, request, metadata): skip
           }
-          val len = headers.get("content-length").map(_.toLong).getOrElse(0L)
-          val payload = readFully(in, len)
-          val warcType = headers.getOrElse("warc-type", "")
-          val uri = headers.get("warc-target-uri")
-          if ((warcType == "response" || warcType == "conversion") && uri.isDefined) {
-            val ts = headers.get("warc-date")
-              .map(d => Timestamp.from(java.time.Instant.parse(d)))
-              .getOrElse(new Timestamp(0L))
-            val off = if (warcType == "response") httpBodyOffset(payload) else 0
-            val body =
-              if (off == 0) payload
-              else java.util.Arrays.copyOfRange(payload, off, payload.length)
-            return WarcRecord(
-              // CC WARC-Target-URIs are sometimes <>-wrapped
-              uri.get.stripPrefix("<").stripSuffix(">"), ts, warcType, body)
-          }
-          // other record types (warcinfo, request, metadata): skip
+          null // unreachable
+        } catch {
+          case e: EOFException =>
+            onSkip(s"truncated record (${e.getMessage}), abandoning stream tail")
+            null
+          case e: java.io.IOException =>
+            onSkip(s"stream error (${e.getMessage}), abandoning stream tail")
+            null
         }
-        null // unreachable
       }
 
       override def hasNext: Boolean = nextRec != null
@@ -126,15 +159,24 @@ object WarcSource {
     * invariant, and language ID (LanguageId) runs downstream. */
   def readPages(spark: SparkSession, path: String): Dataset[WebPage] = {
     import spark.implicits._
+    val skipped = spark.sparkContext.longAccumulator("warcSkippedRecords")
     spark.read.format("binaryFile").load(path)
       .select("path", "content").as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
+        val onSkip = (reason: String) => {
+          skipped.add(1L)
+          System.err.println(s"[warc] $p: $reason")
+        }
         val base = new ByteArrayInputStream(bytes)
-        val in: InputStream =
-          if (p.endsWith(".gz")) new BufferedInputStream(new GZIPInputStream(base, 1 << 16))
-          else base
-        parseWarcStream(in).map(r =>
-          WebPage(url = r.url, warc_ts = r.ts, html = r.body, text = "", lang = ""))
+        val inOpt: Option[InputStream] =
+          if (!p.endsWith(".gz")) Some(base)
+          else
+            try Some(new BufferedInputStream(new GZIPInputStream(base, 1 << 16)))
+            catch { case e: java.io.IOException =>
+              onSkip(s"not gzip (${e.getMessage}), skipping file"); None }
+        inOpt.iterator.flatMap(in =>
+          parseWarcStream(in, onSkip).map(r =>
+            WebPage(url = r.url, warc_ts = r.ts, html = r.body, text = "", lang = "")))
       }
   }
 }

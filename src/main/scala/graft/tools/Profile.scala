@@ -48,10 +48,20 @@ object Profile {
       b.count()
       b
     }
+    // fold-coverage observability: how many code units survive asciiFold
+    // non-ASCII across the corpus (0 = every script folded; >0 quantifies
+    // the documented CJK/Arabic/Indic passthrough vs unidecode's total
+    // transliteration)
+    val residue = extracted.map(doc =>
+      graft.functions.TextFunctions.foldResidue(doc.title) +
+        graft.functions.TextFunctions.foldResidue(doc.text))
+      .reduce(_ + _)
+    println(s"[profile] asciiFoldResidueChars=$residue")
     val pairs = time("pairs") {
-      val (p, dropped) = graft.operators.Blocking.candidatePairs(spark, blocks)
-      val pp = p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      println(s"[profile] numPairs=${pp.count()} hotBlocksDropped=${dropped()}")
+      val gen = graft.operators.Blocking.candidatePairs(spark, blocks)
+      val pp = gen.pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[profile] numPairs=${pp.count()} hotBlocksDropped=${gen.hotBlocks()}")
+      gen.release()
       pp
     }
     val scored = time("score") {

@@ -79,6 +79,31 @@ class EntityResolutionSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(manifest.contains("\"rows\":") && manifest.contains("\"partitions\":"))
   }
 
+  test("repeated passes leave zero surviving storage blocks and stay flat") {
+    import spark.implicits._
+    // VERDICT r02 #2/#6: the degrading driver-bench passes (32→131 s
+    // monotone within one session) match a cached-block leak shape. This
+    // pins the invariant: a full runOnTable pass releases EVERY block it
+    // created (candidatePairs histogram, extracted/features persists, CC
+    // round checkpoints, final CC lineage) — deterministically, not via GC.
+    val corpus = tmpDir("er-flat-") + "/webpages"
+    graft.sources.WebPagesGen.webpages(spark, 250L).toDF()
+      .write.mode("overwrite").parquet(corpus)
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+    val times = (1 to 4).map { i =>
+      val (docs, sec) = EntityResolution.runOnTable(spark, corpus)
+      assert(docs > 0)
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- preexisting
+      assert(leaked.isEmpty, s"pass $i leaked persisted RDDs: $leaked")
+      sec
+    }
+    // soft regression net for within-session aging: the r02 leak showed a
+    // monotone 4x slope over 4 passes; generous 2.5x bound tolerates
+    // co-tenant noise while catching systematic degradation
+    assert(times.drop(2).min <= 2.5 * times.take(2).min,
+      s"passes degrade within one session: $times")
+  }
+
   test("labeled pairs include shared-key negatives") {
     import spark.implicits._
     val labeled: Array[LabeledPair] =

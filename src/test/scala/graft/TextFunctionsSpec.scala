@@ -74,4 +74,15 @@ class TextFunctionsSpec extends AnyFunSuite {
     // scripts beyond the tables pass through (documented approximation)
     assert(asciiFold("東京") == "東京")
   }
+
+  test("foldResidue makes non-covered-script passthrough observable") {
+    import graft.functions.TextFunctions.foldResidue
+    // fully covered inputs leave zero residue
+    assert(foldResidue("Wêreldé-ü ö í à Ørsted Łódź") == 0)
+    assert(foldResidue("Ψάρι Шостакович") == 0)
+    assert(foldResidue(null) == 0)
+    // CJK/Arabic pass through and are COUNTED, not silent
+    assert(foldResidue("東京 tower") == 2)
+    assert(foldResidue("مرحبا") == 5)
+  }
 }

@@ -84,6 +84,48 @@ class WarcSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
       Seq("https://a.example/1", "https://b.example/2"))
   }
 
+  test("malformed records degrade gracefully, never fail the task") {
+    // bad WARC-Date → record kept with epoch-0 timestamp
+    val badDate = record("response", Some("https://c.example/3"),
+      "not-a-date", httpResponse(html1))
+    var skips = List.empty[String]
+    val recs1 = WarcSource.parseWarcStream(
+      new java.io.ByteArrayInputStream(badDate), skips ::= _).toList
+    assert(recs1.map(_.url) == List("https://c.example/3"))
+    assert(recs1.head.ts.getTime == 0L)
+    assert(skips.exists(_.contains("bad WARC-Date")))
+
+    // unparseable Content-Length → framing lost: stream abandoned at that
+    // record, everything BEFORE it survives, no exception
+    val good = record("response", Some("https://a.example/1"),
+      "2024-01-02T03:04:05Z", httpResponse(html1))
+    val corrupt = good ++
+      ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://x.example/\r\n" +
+        "Content-Length: twelve\r\n\r\n").getBytes(UTF_8) ++
+      record("response", Some("https://never.example/"), "2024-01-01T00:00:00Z",
+        httpResponse(html2))
+    skips = Nil
+    val recs2 = WarcSource.parseWarcStream(
+      new java.io.ByteArrayInputStream(corrupt), skips ::= _).toList
+    assert(recs2.map(_.url) == List("https://a.example/1"))
+    assert(skips.exists(_.contains("Content-Length")))
+
+    // truncated payload (file cut mid-record) → clean stop, no exception
+    val truncated = good.take(good.length - 40) // cut inside html1's body
+    skips = Nil
+    val recs3 = WarcSource.parseWarcStream(
+      new java.io.ByteArrayInputStream(truncated), skips ::= _).toList
+    assert(recs3.isEmpty)
+    assert(skips.exists(_.contains("truncated")))
+
+    // a bad file among good ones: ingest keeps the good file's pages
+    val dir = Files.createTempDirectory("warc-mixed-")
+    Files.write(dir.resolve("good.warc"), warcBytes)
+    Files.write(dir.resolve("bad.warc.gz"), "not gzip at all".getBytes(UTF_8))
+    val pages = WarcSource.readPages(spark, dir.toString).collect()
+    assert(pages.length == 2)
+  }
+
   test("WARC pages flow into the extraction stage (title + text)") {
     val dir = Files.createTempDirectory("warc-extract-")
     Files.write(dir.resolve("part-0.warc"), warcBytes)
