@@ -80,6 +80,16 @@ object ConnectedComponents {
       allVertices: DataFrame, // single column "id"
       maxIterations: Int = 30): DataFrame = {
     import spark.implicits._
+    // Unpersisting a superseded localCheckpointed round logs Spark's
+    // "cannot be recomputed after unpersisting" WARN. Here that is the
+    // intended lifecycle — a superseded round is never recomputed (the
+    // next round's checkpoint is already materialized by the same action
+    // that read it) — so the per-round warning is pure noise; raise the
+    // RDD loggers to ERROR for the classes that emit it.
+    Seq("org.apache.spark.rdd.MapPartitionsRDD",
+      "org.apache.spark.rdd.ShuffledRDD").foreach(cls =>
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        cls, org.apache.logging.log4j.Level.ERROR))
     val partitions = spark.sessionState.conf.numShufflePartitions
     val hp = new HashPartitioner(partitions)
     var e: RDD[(Long, Long)] = edges.toDF()
