@@ -118,14 +118,86 @@ object TextFunctions {
     }
   }
 
+  /** Arabic (BGN/PCGN-style), Hebrew (common transliteration incl. final
+    * forms), Eastern-Arabic + Persian digits, basic Devanagari (unidecode's
+    * lossy letter-wise choice — no inherent-vowel reconstruction). These
+    * scripts are unicameral, so no case handling. Arabic tashkeel and the
+    * Devanagari virama are NON_SPACING_MARKs and are already stripped by
+    * the mark filter before this table is consulted. */
+  private val SemiticIndic: Map[Char, String] = Map(
+    // Arabic letters
+    'ء' -> "'", 'آ' -> "a", 'أ' -> "a", 'ؤ' -> "u", 'إ' -> "i", 'ئ' -> "y",
+    'ا' -> "a", 'ب' -> "b", 'ة' -> "h", 'ت' -> "t", 'ث' -> "th", 'ج' -> "j",
+    'ح' -> "h", 'خ' -> "kh", 'د' -> "d", 'ذ' -> "dh", 'ر' -> "r", 'ز' -> "z",
+    'س' -> "s", 'ش' -> "sh", 'ص' -> "s", 'ض' -> "d", 'ط' -> "t", 'ظ' -> "z",
+    'ع' -> "'", 'غ' -> "gh", 'ف' -> "f", 'ق' -> "q", 'ك' -> "k", 'ل' -> "l",
+    'م' -> "m", 'ن' -> "n", 'ه' -> "h", 'و' -> "w", 'ى' -> "a", 'ي' -> "y",
+    // Persian additions
+    'پ' -> "p", 'چ' -> "ch", 'ژ' -> "zh", 'گ' -> "g", 'ک' -> "k", 'ی' -> "y",
+    // Eastern-Arabic digits + Persian variants
+    '٠' -> "0", '١' -> "1", '٢' -> "2", '٣' -> "3", '٤' -> "4", '٥' -> "5",
+    '٦' -> "6", '٧' -> "7", '٨' -> "8", '٩' -> "9",
+    '۰' -> "0", '۱' -> "1", '۲' -> "2", '۳' -> "3", '۴' -> "4", '۵' -> "5",
+    '۶' -> "6", '۷' -> "7", '۸' -> "8", '۹' -> "9",
+    // Hebrew (final forms mapped like their base letters)
+    'א' -> "a", 'ב' -> "b", 'ג' -> "g", 'ד' -> "d", 'ה' -> "h", 'ו' -> "v",
+    'ז' -> "z", 'ח' -> "ch", 'ט' -> "t", 'י' -> "y", 'כ' -> "k", 'ך' -> "k",
+    'ל' -> "l", 'מ' -> "m", 'ם' -> "m", 'נ' -> "n", 'ן' -> "n", 'ס' -> "s",
+    'ע' -> "'", 'פ' -> "p", 'ף' -> "f", 'צ' -> "ts", 'ץ' -> "ts", 'ק' -> "q",
+    'ר' -> "r", 'ש' -> "sh", 'ת' -> "t",
+    // Devanagari independent vowels + consonants + common spacing matras
+    'अ' -> "a", 'आ' -> "aa", 'इ' -> "i", 'ई' -> "ii", 'उ' -> "u", 'ऊ' -> "uu",
+    'ऋ' -> "ri", 'ए' -> "e", 'ऐ' -> "ai", 'ओ' -> "o", 'औ' -> "au",
+    'क' -> "k", 'ख' -> "kh", 'ग' -> "g", 'घ' -> "gh", 'ङ' -> "ng",
+    'च' -> "ch", 'छ' -> "chh", 'ज' -> "j", 'झ' -> "jh", 'ञ' -> "ny",
+    'ट' -> "t", 'ठ' -> "th", 'ड' -> "d", 'ढ' -> "dh", 'ण' -> "n",
+    'त' -> "t", 'थ' -> "th", 'द' -> "d", 'ध' -> "dh", 'न' -> "n",
+    'प' -> "p", 'फ' -> "ph", 'ब' -> "b", 'भ' -> "bh", 'म' -> "m",
+    'य' -> "y", 'र' -> "r", 'ल' -> "l", 'व' -> "v",
+    'श' -> "sh", 'ष' -> "sh", 'स' -> "s", 'ह' -> "h",
+    'ा' -> "aa", 'ि' -> "i", 'ी' -> "ii", 'ु' -> "u", 'ू' -> "uu", 'ृ' -> "ri",
+    'े' -> "e", 'ै' -> "ai", 'ो' -> "o", 'ौ' -> "au", 'ं' -> "n", 'ः' -> "h",
+    '।' -> ".", '॥' -> ".")
+
+  // Hangul syllables (U+AC00..U+D7A3) decompose ARITHMETICALLY into
+  // lead/vowel/tail jamo; romanize Revised-Romanization-style letter by
+  // letter — compact and total over the whole block (11,172 syllables
+  // from 68 strings), where a table would be enormous.
+  private val HangulLeads = Array(
+    "g", "kk", "n", "d", "tt", "r", "m", "b", "pp", "s", "ss", "",
+    "j", "jj", "ch", "k", "t", "p", "h")
+  private val HangulVowels = Array(
+    "a", "ae", "ya", "yae", "eo", "e", "yeo", "ye", "o", "wa", "wae",
+    "oe", "yo", "u", "wo", "we", "wi", "yu", "eu", "ui", "i")
+  private val HangulTails = Array(
+    "", "g", "kk", "gs", "n", "nj", "nh", "d", "l", "lg", "lm", "lb",
+    "ls", "lt", "lp", "lh", "m", "b", "bs", "s", "ss", "ng", "j", "ch",
+    "k", "t", "p", "h")
+
+  private def hangul(c: Char): Option[String] =
+    // NFD (applied before the per-char fold) decomposes syllables into
+    // conjoining jamo (OTHER_LETTERs, so they survive the mark filter):
+    // initial consonants U+1100.., medial vowels U+1161.., finals U+11A8..
+    if (c >= 0x1100 && c <= 0x1112) Some(HangulLeads(c - 0x1100))
+    else if (c >= 0x1161 && c <= 0x1175) Some(HangulVowels(c - 0x1161))
+    else if (c >= 0x11a8 && c <= 0x11c2) Some(HangulTails(c - 0x11a8 + 1))
+    else if (c >= 0xac00 && c <= 0xd7a3) { // non-normalized call paths
+      val syl = c - 0xac00
+      Some(HangulLeads(syl / 588) + HangulVowels(syl % 588 / 28) +
+        HangulTails(syl % 28))
+    } else None
+
   /** ASCII-fold + lowercase + strip: the engine's `clean_entity`
     * (/root/reference/src/db.py:12-13 `unidecode(entity).lower().strip()`).
     * Full unidecode is a giant transliteration table; we implement Latin
     * folding (NFD decomposition + combining-mark strip + a table for
-    * non-decomposable Latin letters) plus Greek/Cyrillic romanization —
-    * documented as an approximation for scripts beyond those (CJK etc.
-    * passes through); the corpus and goldens exercise the covered ranges
-    * (SURVEY §7). */
+    * non-decomposable Latin letters), Greek/Cyrillic romanization,
+    * Arabic/Hebrew/Devanagari tables, Eastern-Arabic digits, and
+    * algorithmic Hangul jamo romanization. CJK ideographs still pass
+    * through (per-character pinyin/on-yomi needs a ~20k-entry table) —
+    * the passthrough is OBSERVABLE via `foldResidue`, surfaced per-corpus
+    * by `tools.Profile`. The corpus and goldens exercise the covered
+    * ranges (SURVEY §7). */
   def asciiFold(s: String): String = {
     if (s == null) return null
     val decomposed = Normalizer.normalize(s, Normalizer.Form.NFD)
@@ -133,7 +205,12 @@ object TextFunctions {
     var i = 0
     while (i < decomposed.length) {
       val c = decomposed.charAt(i)
-      if (Character.getType(c) != Character.NON_SPACING_MARK) {
+      // Devanagari vowel signs are NON_SPACING_MARKs that CARRY the vowel
+      // (unlike Latin accents / Arabic tashkeel) — the block's table takes
+      // precedence over the mark strip, matching unidecode's output
+      if (c >= 0x0900 && c <= 0x097f && SemiticIndic.contains(c))
+        sb.append(SemiticIndic(c))
+      else if (Character.getType(c) != Character.NON_SPACING_MARK) {
         val mapped: String = c match {
           case 'ß' => "ss"
           case 'Æ' => "AE"; case 'æ' => "ae"
@@ -152,7 +229,11 @@ object TextFunctions {
           case '’' | '‘' => "'"
           case '“' | '”' | '„' => "\""
           case other if other < 128 => other.toString
-          case other => greekCyrillic(other).getOrElse(other.toString)
+          case other =>
+            greekCyrillic(other)
+              .orElse(SemiticIndic.get(other))
+              .orElse(hangul(other))
+              .getOrElse(other.toString)
         }
         sb.append(mapped)
       }
@@ -167,7 +248,8 @@ object TextFunctions {
 
   /** Count of code units that survive `asciiFold` non-ASCII — the
     * observable passthrough for scripts outside the covered ranges
-    * (Latin/NFD, Greek, Cyrillic; CJK/Arabic/Indic pass through where the
+    * (Latin/NFD, Greek, Cyrillic, Arabic, Hebrew, Hangul, basic
+    * Devanagari; CJK ideographs and anything else pass through where the
     * reference's unidecode transliterates totally,
     * /root/reference/src/db.py:12-13). Surfaced per-corpus by
     * `tools.Profile` so silent mis-normalization is measurable, not

@@ -81,8 +81,29 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(foldResidue("Wêreldé-ü ö í à Ørsted Łódź") == 0)
     assert(foldResidue("Ψάρι Шостакович") == 0)
     assert(foldResidue(null) == 0)
-    // CJK/Arabic pass through and are COUNTED, not silent
+    // CJK ideographs pass through and are COUNTED, not silent
     assert(foldResidue("東京 tower") == 2)
-    assert(foldResidue("مرحبا") == 5)
+  }
+
+  test("asciiFold covers Arabic, Hebrew, Hangul, Devanagari, eastern digits") {
+    import graft.functions.TextFunctions.{asciiFold, foldResidue}
+    // Arabic: مرحبا (marhaban greeting)
+    assert(asciiFold("مرحبا") == "mrhba")
+    assert(foldResidue("مرحبا") == 0)
+    // Arabic tashkeel (fatha etc.) are non-spacing marks: stripped
+    assert(asciiFold("مُحَمَّد") == "mhmd")
+    // Eastern-Arabic + Persian digits
+    assert(asciiFold("١٢٣ ۴۵۶") == "123 456")
+    // Hebrew with final forms: שלום
+    assert(asciiFold("שלום") == "shlvm")
+    assert(asciiFold("ספר ים") == "spr ym")
+    // Hangul: algorithmic jamo romanization over the full syllable block
+    // (letter-wise like unidecode — final ㄱ stays "g", not positional "k")
+    assert(asciiFold("한국") == "hangug")
+    assert(asciiFold("서울") == "seoul")
+    assert(asciiFold("김치") == "gimchi")
+    // Devanagari (letter-wise, no inherent-vowel reconstruction)
+    assert(asciiFold("नमस्ते") == "nmste")
+    assert(foldResidue("नमस्ते") == 0)
   }
 }
