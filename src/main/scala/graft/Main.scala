@@ -83,6 +83,20 @@ object Main {
       graft.operators.ElSchema.mentionByEntity(t)
         .orderBy("page_id", "offset").show(10, truncate = false)
 
+    case "print" :: paths if paths.nonEmpty =>
+      // reference print_page.py: page contents with mentions highlighted
+      import spark.implicits._
+      val pages = spark.read
+        .option("multiLine", true)
+        .schema(Encoders.product[Page].schema)
+        .json(paths: _*)
+        .as[Page]
+      pages.collect().filter(PageProcessing.isValidPage).foreach { p =>
+        val processed = PageProcessing.processPage(_ => None, p)
+        println(graft.tools.PrettyPrint.pageContentsWithMentions(
+          processed.documentInfo.text, processed.mentions))
+      }
+
     case "resolve" :: outDir :: rest =>
       val nClusters = rest.headOption.map(_.toLong).getOrElse(1000L)
       println(graft.pipeline.EntityResolution.runAndReport(spark, outDir, nClusters))
@@ -90,7 +104,7 @@ object Main {
     case other =>
       System.err.println(s"unknown args: ${other.mkString(" ")}")
       System.err.println(
-        "usage: graft.Main extract <page.json>... | resolve <outDir> [nClusters]")
+        "usage: graft.Main extract|print <page.json>... | resolve <outDir> [nClusters]")
       sys.exit(2)
   }
 }

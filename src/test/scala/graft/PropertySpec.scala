@@ -133,4 +133,20 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("asciiFold is total ASCII over every Hangul syllable + covered tables") {
+    import graft.functions.TextFunctions.{asciiFold, foldResidue}
+    // the ENTIRE 11,172-syllable Hangul block folds to non-empty ASCII
+    var c = 0xac00
+    while (c <= 0xd7a3) {
+      val folded = asciiFold(c.toChar.toString)
+      assert(folded.nonEmpty && folded.forall(_ < 128), s"U+${c.toHexString}")
+      c += 1
+    }
+    // Greek/Cyrillic/Arabic/Hebrew letter ranges leave zero residue
+    // (classical Arabic letters; 0x63b-0x640 are later extensions, uncovered)
+    for (r <- Seq(0x0391 to 0x03c9, 0x0410 to 0x044f, 0x0621 to 0x063a, 0x0641 to 0x064a, 0x05d0 to 0x05ea);
+         cp <- r if Character.isLetter(cp))
+      assert(foldResidue(cp.toChar.toString) == 0, s"U+${cp.toHexString}")
+  }
 }
