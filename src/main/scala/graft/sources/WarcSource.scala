@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, ByteArrayInputStream, EOFException, InputStream}
+import java.io.{BufferedInputStream, EOFException, InputStream}
 import java.sql.Timestamp
 import java.util.zip.GZIPInputStream
 
@@ -156,27 +156,70 @@ object WarcSource {
   /** Read a directory (or glob) of `.warc` / `.warc.gz` files into the
     * engine's webpages shape. `text`/`lang` are left empty — extraction
     * (EntityResolution.extract) owns html→text with its byte-identical
-    * invariant, and language ID (LanguageId) runs downstream. */
+    * invariant, and language ID (LanguageId) runs downstream.
+    *
+    * Scale shape: files are ENUMERATED on the driver (a cheap metadata
+    * listing) and STREAMED record-by-record inside tasks — one partition
+    * per archive, records parsed straight off the open file handle. The
+    * earlier `binaryFile` approach materialized each ~1 GB archive as one
+    * byte array per task; at Common-Crawl scale that is an avoidable
+    * 1 GB/task heap spike (and a hard 2 GB ceiling). Peak memory per task
+    * is now one record, not one archive. */
   def readPages(spark: SparkSession, path: String): Dataset[WebPage] = {
     import spark.implicits._
     val skipped = spark.sparkContext.longAccumulator("warcSkippedRecords")
-    spark.read.format("binaryFile").load(path)
-      .select("path", "content").as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) =>
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val listed = fs.globStatus(p) match {
+      case null | Array() => // not a glob match: treat as dir (or file)
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) buf += it.next().getPath.toString
+        buf.toSeq
+      case matches =>
+        matches.toSeq.flatMap { st =>
+          if (st.isDirectory) {
+            val it = fs.listFiles(st.getPath, true)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (it.hasNext) buf += it.next().getPath.toString
+            buf.toSeq
+          } else Seq(st.getPath.toString)
+        }
+    }
+    val warcFiles = listed.filter(f =>
+      f.endsWith(".warc") || f.endsWith(".warc.gz")).sorted
+    spark
+      .createDataset(warcFiles)
+      .repartition(math.max(1, warcFiles.size)) // one task per archive
+      .flatMap { file =>
         val onSkip = (reason: String) => {
           skipped.add(1L)
-          System.err.println(s"[warc] $p: $reason")
+          System.err.println(s"[warc] $file: $reason")
         }
-        val base = new ByteArrayInputStream(bytes)
+        val fp = new org.apache.hadoop.fs.Path(file)
+        val taskFs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
         val inOpt: Option[InputStream] =
-          if (!p.endsWith(".gz")) Some(base)
-          else
-            try Some(new BufferedInputStream(new GZIPInputStream(base, 1 << 16)))
-            catch { case e: java.io.IOException =>
-              onSkip(s"not gzip (${e.getMessage}), skipping file"); None }
-        inOpt.iterator.flatMap(in =>
-          parseWarcStream(in, onSkip).map(r =>
-            WebPage(url = r.url, warc_ts = r.ts, html = r.body, text = "", lang = "")))
+          try {
+            val raw = new BufferedInputStream(taskFs.open(fp), 1 << 16)
+            if (file.endsWith(".gz"))
+              Some(new BufferedInputStream(new GZIPInputStream(raw, 1 << 16)))
+            else Some(raw)
+          } catch { case e: java.io.IOException =>
+            onSkip(s"unreadable (${e.getMessage}), skipping file"); None }
+        inOpt.iterator.flatMap { in =>
+          val base = parseWarcStream(in, onSkip).map(r =>
+            WebPage(url = r.url, warc_ts = r.ts, html = r.body, text = "", lang = ""))
+          // close the handle when the record stream is exhausted
+          new Iterator[WebPage] {
+            override def hasNext: Boolean = {
+              val h = base.hasNext
+              if (!h) scala.util.Try(in.close())
+              h
+            }
+            override def next(): WebPage = base.next()
+          }
+        }
       }
   }
 }

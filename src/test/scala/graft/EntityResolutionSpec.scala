@@ -98,9 +98,10 @@ class EntityResolutionSpec extends AnyFunSuite with SparkSessionTestWrapper {
       sec
     }
     // soft regression net for within-session aging: the r02 leak showed a
-    // monotone 4x slope over 4 passes; generous 2.5x bound tolerates
-    // co-tenant noise while catching systematic degradation
-    assert(times.drop(2).min <= 2.5 * times.take(2).min,
+    // monotone 4x slope over 4 passes; generous 3x min-vs-min bound
+    // tolerates co-tenant bursts (the zero-blocks assertion above is the
+    // deterministic guard) while still catching systematic degradation
+    assert(times.drop(2).min <= 3.0 * times.take(2).min,
       s"passes degrade within one session: $times")
   }
 
