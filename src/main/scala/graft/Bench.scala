@@ -106,7 +106,7 @@ object Bench {
     val coresHigh = sys.env.getOrElse("SPARK_GRAFT_SCALE_HIGH", "4").toInt
     val partitions = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTITIONS",
       (3 * coresHigh).toString).toInt
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "5").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "6").toInt
 
     // materialize the corpus once (north rule: the pipeline READS a table)
     val corpusDir = java.nio.file.Files
