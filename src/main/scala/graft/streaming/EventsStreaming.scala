@@ -42,6 +42,25 @@ object EventsStreaming {
         unix_timestamp(col("w.start")).cast("long").as("bucket"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Streaming exact dedup — the stream form of q21's content-hash dedup
+    * and the first stage of any streaming training-data ingest: keep the
+    * first arrival per key, drop re-deliveries (at-least-once sources
+    * re-deliver). `dropDuplicates` keeps keyed state; the watermark lets
+    * Spark expire state for keys older than `allowedLateness`, which is
+    * what makes the operator runnable forever at ingest scale (without it
+    * state grows unboundedly). `dropDuplicatesWithinWatermark` drops any
+    * re-delivery whose first arrival was within the watermark delay, even
+    * when the duplicate carries a slightly different event time (the
+    * at-least-once-redelivery reality). Dedup state carries across
+    * triggers — asserted in the spec. */
+  def dedupByKey(
+      events: DataFrame,
+      keyCol: String,
+      allowedLateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", allowedLateness)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   final case class SessionEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp)
   final case class SessionAssignment(event_id: Long, user_id: Long, session_idx: Long)
   final case class SessionState(lastTsMs: Long, sessionIdx: Long)

@@ -84,6 +84,32 @@ class EventsStreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming dedup drops re-deliveries across triggers") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = eventRows.take(200)
+    val (first, second) = rows.splitAt(100)
+    // second trigger re-delivers 50 of the first trigger's events (some
+    // with a nudged timestamp — the at-least-once reality) plus new ones
+    val redelivered = first.take(50).map(e =>
+      e.copy(ts = new Timestamp(e.ts.getTime + 1000)))
+    val stream = MemoryStream[EventRow]
+    val query = EventsStreaming.dedupByKey(stream.toDF(), "event_id", "1 hour")
+      .writeStream.format("memory").queryName("graft_dedup_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      stream.addData((redelivered ++ second).toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("graft_dedup_test")
+      .select("event_id").collect().map(_.getLong(0))
+    assert(out.length == out.distinct.length, "duplicates survived")
+    assert(out.toSet == rows.map(_.event_id).toSet,
+      "dedup must keep exactly one arrival per event_id")
+  }
+
   test("assignSessions state transition is pure and gap-exact") {
     val base = 1700000000000L
     def ev(id: Long, tMs: Long) = SessionEvent(id, 1L, new Timestamp(tMs))
