@@ -59,6 +59,47 @@ object Bench {
   private def erPass(spark: SparkSession, corpusPath: String): (Long, Double) =
     graft.pipeline.EntityResolution.runOnTable(spark, corpusPath)
 
+  /** Cores currently consumed by OTHER processes, measured from /proc/stat
+    * deltas over a short window in which this JVM is idle — unlike
+    * loadavg, this has no decay lag and excludes our own (stopped)
+    * executors. */
+  private def externalBusyCores(sampleMs: Int = 1500): Double = {
+    def snap(): (Long, Long) = {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val parts = src.getLines().next().split("\\s+").drop(1).map(_.toLong)
+        (parts.sum, parts(3) + parts(4)) // (total, idle+iowait)
+      } finally src.close()
+    }
+    val (t0, i0) = snap(); Thread.sleep(sampleMs); val (t1, i1) = snap()
+    val total = (t1 - t0).toDouble
+    if (total <= 0) 0.0
+    else (total - (i1 - i0)) / total * Runtime.getRuntime.availableProcessors()
+  }
+
+  /** Wait (bounded by the SHARED budget) for co-tenant load to drop below
+    * `maxBusyCores`, then return the last observation. Burst contention is
+    * already handled by interleaving + min-of-k; this handles the one
+    * remaining failure mode — a SUSTAINED plateau covering the whole run,
+    * which min-of-k cannot dodge and which suppresses the 4-core level
+    * more than the 1-core level (measured: a plateau window produced
+    * efficiency 0.754 from floors 18.1/54.6 s vs 13.8/44.9 s quiet). On a
+    * real cluster each executor owns its node, so sampling quiet windows
+    * measures the ENGINE; the observed external load of every pass is
+    * published in the JSON so the waiting is auditable, and the wait
+    * budget is hard-capped so the bench always terminates. */
+  private def awaitQuiet(
+      maxBusyCores: Double, budget: java.util.concurrent.atomic.AtomicLong): Double = {
+    var busy = externalBusyCores()
+    while (busy > maxBusyCores && budget.get() > 0) {
+      val step = math.min(5000L, budget.get())
+      Thread.sleep(step)
+      budget.addAndGet(-step)
+      busy = externalBusyCores()
+    }
+    busy
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -131,12 +172,23 @@ object Bench {
     }
     // interleave H,L,H,L,…: a contended window degrades both levels
     // symmetrically instead of poisoning one level wholesale (the r02
-    // driver artifact's failure mode)
+    // driver artifact's failure mode); before each pass, wait (bounded)
+    // for co-tenants to quiet down — the defense against a sustained
+    // plateau that min-of-k cannot dodge
+    val maxBusy = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_BUSY", "6.0").toDouble
+    val waitBudget = new java.util.concurrent.atomic.AtomicLong(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_WAIT_BUDGET_S", "420").toLong * 1000L)
     val interleaved = (1 to rounds).map { _ =>
-      (onePass(coresHigh), onePass(coresLow))
+      val busyH = awaitQuiet(maxBusy, waitBudget)
+      val h = onePass(coresHigh)
+      val busyL = awaitQuiet(maxBusy, waitBudget)
+      val l = onePass(coresLow)
+      (h, l, busyH, busyL)
     }
     val highRuns = interleaved.map(_._1)
     val lowRuns = interleaved.map(_._2)
+    val busyHigh = interleaved.map(_._3)
+    val busyLow = interleaved.map(_._4)
     val (docsHigh, secHigh) = highRuns.minBy(_._2)
     val (docsLow, secLow) = lowRuns.minBy(_._2)
     val (rawHigh, rawLow) = (highRuns.map(_._2), lowRuns.map(_._2))
@@ -152,6 +204,7 @@ object Bench {
       f"""{"clusters":$erClusters,"docs":$docsHigh,"scaling":{"protocol":"interleaved-fresh-session","cores_low":$coresLow,"cores_high":$coresHigh,""" +
         f""""partitions":$partitions,"sec_low":$secLow%.2f,"sec_high":$secHigh%.2f,""" +
         f""""passes_low":${arr(rawLow)},"passes_high":${arr(rawHigh)},""" +
+        f""""external_busy_cores_low":${arr(busyLow)},"external_busy_cores_high":${arr(busyHigh)},""" +
         f""""docs_per_sec_low":$tputLow%.1f,"docs_per_sec_high":$tputHigh%.1f,""" +
         f""""efficiency":$efficiency%.3f}}"""
     println(
