@@ -108,8 +108,16 @@ object Bench {
     // driver/scheduling constant (~3s)
     val erClusters = sys.env.getOrElse("SPARK_GRAFT_ER_CLUSTERS", "60000").toLong
 
-    // part 1: catalog queries. A crashing query is reported as -1.0 (not a
-    // plausible-looking timing) so failures are distinguishable downstream.
+    val maxBusy = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_BUSY", "6.0").toDouble
+    val waitBudget = new java.util.concurrent.atomic.AtomicLong(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_WAIT_BUDGET_S", "420").toLong * 1000L)
+
+    // part 1: catalog queries, each timed min-of-2 (a mid-catalog co-tenant
+    // burst then cannot masquerade as a per-query regression), behind the
+    // same quiet-window gate as the ER passes. A crashing query is
+    // reported as -1.0 (not a plausible-looking timing) so failures are
+    // distinguishable downstream.
+    awaitQuiet(maxBusy, waitBudget)
     val spark = session(cpus, 3 * cpus)
     // untimed session warmup: without it the alphabetically-FIRST queries
     // absorb the one-time parquet-footer/codegen/JIT cost of each operator
@@ -132,13 +140,17 @@ object Bench {
         .where(org.apache.spark.sql.functions.col("rnk") <= 2).count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+      def onePass(): Double =
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val a = onePass()
+      val b = if (a < 0) -1.0 else onePass()
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     spark.stop()
 
@@ -175,9 +187,6 @@ object Bench {
     // driver artifact's failure mode); before each pass, wait (bounded)
     // for co-tenants to quiet down — the defense against a sustained
     // plateau that min-of-k cannot dodge
-    val maxBusy = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_BUSY", "6.0").toDouble
-    val waitBudget = new java.util.concurrent.atomic.AtomicLong(
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_WAIT_BUDGET_S", "420").toLong * 1000L)
     val interleaved = (1 to rounds).map { _ =>
       val busyH = awaitQuiet(maxBusy, waitBudget)
       val h = onePass(coresHigh)
