@@ -126,6 +126,40 @@ class WarcSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(pages.length == 2)
   }
 
+  test("property: random record mixes round-trip through the parser") {
+    // deterministic pseudo-random corpora: every response/conversion
+    // record with a URI comes back with exactly its body bytes, in order,
+    // regardless of record mix, body sizes, or binary content
+    for (trial <- 0 until 20) {
+      val rnd = new scala.util.Random(9000 + trial)
+      val types = Vector("response", "conversion", "request", "warcinfo", "metadata")
+      val recs = (0 until (1 + rnd.nextInt(12))).map { i =>
+        val t = types(rnd.nextInt(types.length))
+        val body = new Array[Byte](rnd.nextInt(2000))
+        rnd.nextBytes(body)
+        val payload =
+          if (t == "response") httpResponse("") ++ body // header + binary body
+          else body
+        val uri = if (rnd.nextBoolean() || t == "response" || t == "conversion")
+          Some(s"https://ex$trial.org/$i") else None
+        (t, uri, body, record(t, uri, "2024-06-01T00:00:00Z",
+          if (t == "response") (s"HTTP/1.1 200 OK\r\nContent-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body
+          else payload))
+      }
+      val out = new ByteArrayOutputStream()
+      recs.foreach(r => out.write(r._4))
+      val parsed = WarcSource.parseWarcStream(
+        new java.io.ByteArrayInputStream(out.toByteArray)).toList
+      val expected = recs.collect {
+        case (t, Some(u), body, _) if t == "response" || t == "conversion" => (u, body)
+      }
+      assert(parsed.map(_.url) == expected.map(_._1), s"trial $trial urls")
+      parsed.zip(expected).foreach { case (got, (_, body)) =>
+        assert(java.util.Arrays.equals(got.body, body), s"trial $trial body")
+      }
+    }
+  }
+
   test("WARC pages flow into the extraction stage (title + text)") {
     val dir = Files.createTempDirectory("warc-extract-")
     Files.write(dir.resolve("part-0.warc"), warcBytes)
