@@ -127,6 +127,26 @@ object Similarity {
     dot / math.sqrt(na * nb)
   }
 
+  /** Float-weight overload of [[sparseCosine]] (accumulation stays double).
+    * TF-IDF weights ship as floats — half the shuffle bytes of the pairwise
+    * scoring joins, the pipeline's biggest byte-mover — and the ~1e-7
+    * relative error is noise against the ≥0.15 decision margins
+    * (PairScoring.decide). */
+  def sparseCosine(ka: Array[Long], wa: Array[Float], kb: Array[Long], wb: Array[Float]): Double = {
+    var i = 0; var j = 0
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    while (i < ka.length) { na += wa(i).toDouble * wa(i); i += 1 }
+    while (j < kb.length) { nb += wb(j).toDouble * wb(j); j += 1 }
+    if (na == 0.0 || nb == 0.0) return 0.0
+    i = 0; j = 0
+    while (i < ka.length && j < kb.length) {
+      if (ka(i) == kb(j)) { dot += wa(i).toDouble * wb(j); i += 1; j += 1 }
+      else if (ka(i) < kb(j)) i += 1
+      else j += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
   /** Dense cosine over two float vectors (embedding similarity). */
   def denseCosine(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)

@@ -32,7 +32,7 @@ object Blocking {
       url: String,
       normTitle: String,
       tokenHashes: Array[Long], // sorted distinct: Jaccard set AND TF-IDF keys
-      tfWeights: Array[Double], // parallel to tokenHashes (TF-IDF vector)
+      tfWeights: Array[Float], // parallel to tokenHashes (TF-IDF vector; float — half the shuffle/persist bytes, error ≪ decision margins)
       minhash: Array[Long],
       simhash: Long,
       numTokens: Int)
@@ -219,12 +219,12 @@ object Blocking {
       val tokenHashes = distinctB.result()
       val tfCounts = countB.result()
       val (toks, dfs) = dfB.value
-      val weights = new Array[Double](tokenHashes.length)
+      val weights = new Array[Float](tokenHashes.length)
       i = 0
       while (i < tokenHashes.length) {
         val idx = java.util.Arrays.binarySearch(toks, tokenHashes(i))
         val df = if (idx >= 0) dfs(idx) else 1.0
-        weights(i) = tfCounts(i) * math.log((n + 1.0) / (df + 1.0))
+        weights(i) = (tfCounts(i) * math.log((n + 1.0) / (df + 1.0))).toFloat
         i += 1
       }
       DocFeatures(d.id, d.url, TextFunctions.cleanEntity(d.title), tokenHashes,

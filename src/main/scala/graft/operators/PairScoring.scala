@@ -62,8 +62,8 @@ object PairScoring {
     pairs.toDF()
       .join(lhs, "src")
       .join(rhs, "dst")
-      .as[(Long, Long, String, Array[Long], Array[Double],
-        String, Array[Long], Array[Double])]
+      .as[(Long, Long, String, Array[Long], Array[Float],
+        String, Array[Long], Array[Float])]
       .mapPartitions { it =>
         it.map { case (dst, src, aTitle, aTokens, aWeights,
             bTitle, bTokens, bWeights) =>

@@ -12,16 +12,16 @@ import graft.operators.Blocking.{CandidatePair, DocFeatures}
   * src/dst payloads). */
 class PairScoringSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
-  private def feat(id: Long, title: String, tokens: Seq[Long], w: Seq[Double]): DocFeatures =
+  private def feat(id: Long, title: String, tokens: Seq[Long], w: Seq[Float]): DocFeatures =
     DocFeatures(id, s"u$id", title, tokens.toArray, w.toArray,
       Similarity.minHashSignature(tokens.toArray, 20),
       Similarity.simHash(tokens.toArray), tokens.length)
 
   test("distributed scores equal direct scalar computation") {
     import spark.implicits._
-    val a = feat(1L, "alpha beta", Seq(10L, 20L, 30L), Seq(1.0, 2.0, 3.0))
-    val b = feat(2L, "alpha bets", Seq(20L, 30L, 40L), Seq(2.0, 3.0, 4.0))
-    val c = feat(3L, "gamma", Seq(99L), Seq(5.0))
+    val a = feat(1L, "alpha beta", Seq(10L, 20L, 30L), Seq(1.0f, 2.0f, 3.0f))
+    val b = feat(2L, "alpha bets", Seq(20L, 30L, 40L), Seq(2.0f, 3.0f, 4.0f))
+    val c = feat(3L, "gamma", Seq(99L), Seq(5.0f))
     val feats = spark.createDataset(Seq(a, b, c))
     val pairs = spark.createDataset(Seq(CandidatePair(1L, 2L), CandidatePair(1L, 3L)))
     val scored = PairScoring.score(spark, pairs, feats).collect()
