@@ -116,7 +116,11 @@ object Bench {
     // burst then cannot masquerade as a per-query regression), behind the
     // same quiet-window gate as the ER passes. A crashing query is
     // reported as -1.0 (not a plausible-looking timing) so failures are
-    // distinguishable downstream.
+    // distinguishable downstream. SPARK_GRAFT_SKIP_CATALOG=1 skips this
+    // section (ER-scaling-only iteration); skipped queries report -1.0
+    // with an empty-catalog marker in the JSON.
+    val skipCatalog = sys.env.get("SPARK_GRAFT_SKIP_CATALOG").contains("1")
+    val results: Seq[(String, Double)] = if (skipCatalog) Seq.empty else {
     awaitQuiet(maxBusy, waitBudget)
     val spark = session(cpus, 3 * cpus)
     // untimed session warmup: without it the alphabetically-FIRST queries
@@ -139,7 +143,7 @@ object Bench {
         .over(Window.partitionBy("c_nationkey").orderBy("c_custkey")))
         .where(org.apache.spark.sql.functions.col("rnk") <= 2).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def onePass(): Double =
         try {
           val t0 = System.nanoTime()
@@ -153,6 +157,8 @@ object Bench {
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     spark.stop()
+    rs
+    }
 
     // part 2: ER scaling — same input, same partitioning, two core counts.
     val coresLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "1").toInt

@@ -678,7 +678,17 @@ object Queries {
     import s.implicits._
     val pages = graft.sources.WebPagesGen.webpages(s, Q29Clusters)
     val extracted = graft.pipeline.EntityResolution.extract(s, pages)
-    val feats = graft.operators.Blocking.features(s, extracted)
+    // feats feeds FIVE distinct plan subtrees below (blocks, both scoring
+    // sides, CC vertices, the final url join) — materialize once to
+    // session-temp parquet so each subtree re-reads ~300 tiny rows instead
+    // of re-running generate→extract→tokenize→sketch (the q25 pattern;
+    // halves this query's wall time, no cache entries left behind)
+    val featsDir = java.nio.file.Files
+      .createTempDirectory("graft_q29_feats").resolve("f").toString
+    graft.operators.Blocking.features(s, extracted)
+      .write.mode("overwrite").parquet(featsDir)
+    val feats = s.read.parquet(featsDir)
+      .as[graft.operators.Blocking.DocFeatures]
     val blocks = graft.operators.Blocking.blockEntries(s, feats)
     val pairs =
       graft.operators.Blocking.candidatePairs(s, blocks, persistSizes = false).pairs
@@ -686,7 +696,7 @@ object Queries {
     val edges = scored.where(col("isDuplicate"))
       .select(col("src"), col("dst")).as[graft.model.Edge]
     val assigned = graft.operators.ConnectedComponents.assign(
-      s, edges, feats.select(col("id")))
+      s, edges, feats.select(col("id")), dedupEdges = false)
     feats.select(col("id"), col("url")).join(assigned, "id")
       .withColumn("canonical", min("url").over(Window.partitionBy("comp")))
       .select(col("url"), col("canonical"))

@@ -74,11 +74,21 @@ object ConnectedComponents {
   /** Component assignment for every vertex incident to `edges` plus every
     * vertex in `allVertices` (singletons map to themselves). Returns
     * DataFrame(id, comp) where comp = min id of the component. */
+  /** @param dedupEdges when true (default), the input edge set is
+    *   shuffled through a `distinct` before iterating — required for
+    *   arbitrary callers. The ER pipeline passes false: its edges are the
+    *   positive scored pairs, which are unique (src,dst) by construction
+    *   (candidate pairs are dropDuplicates'd and scoring is 1:1), so the
+    *   distinct would be a pure extra shuffle + stage barrier. Duplicate
+    *   edges would not break correctness either way (largeStar's
+    *   reduceByKey and smallStar's distinct absorb them) — the flag only
+    *   controls whether the first round's input volume is pre-shrunk. */
   def assign(
       spark: SparkSession,
       edges: Dataset[Edge],
       allVertices: DataFrame, // single column "id"
-      maxIterations: Int = 30): DataFrame = {
+      maxIterations: Int = 30,
+      dedupEdges: Boolean = true): DataFrame = {
     import spark.implicits._
     // Unpersisting a superseded localCheckpointed round logs Spark's
     // "cannot be recomputed after unpersisting" WARN. Here that is the
@@ -91,10 +101,10 @@ object ConnectedComponents {
       org.apache.logging.log4j.core.config.Configurator.setLevel(
         cls, org.apache.logging.log4j.Level.ERROR))
     val partitions = spark.sessionState.conf.numShufflePartitions
-    var e: RDD[(Long, Long)] = edges.toDF()
+    val raw = edges.toDF()
       .select(col("src"), col("dst")).as[(Long, Long)].rdd
       .filter { case (s, d) => s != d }
-      .distinct(partitions)
+    var e: RDD[(Long, Long)] = if (dedupEdges) raw.distinct(partitions) else raw
     e.localCheckpoint()
     // The initial fingerprint materializes the checkpoint AND yields the
     // edge count for free; the round partitioner is then sized to the edge

@@ -77,7 +77,9 @@ object EntityResolution {
       .select(col("src"), col("dst")).as[Edge]
     val assignments = store.getOrCreate("clusters") {
       val vertices = feats.select(col("id"))
-      val assigned = ConnectedComponents.assign(spark, edges, vertices)
+      // scored-pair edges are unique (src,dst) by construction
+      val assigned = ConnectedComponents.assign(
+        spark, edges, vertices, dedupEdges = false)
       feats.select(col("id"), col("url"))
         .join(assigned, "id")
         .select(col("url"), col("id"), col("comp").as("cluster"))
@@ -136,13 +138,19 @@ object EntityResolution {
     val feats = Blocking.features(spark, extracted)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val blocks = Blocking.blockEntries(spark, feats)
-    val gen = Blocking.candidatePairs(spark, blocks)
+    // persistSizes=false: this path never forces the hot-block counter, so
+    // the histogram is read exactly once (by the eligibility join) — a
+    // cache entry would be a pure write with no second reader
+    val gen = Blocking.candidatePairs(spark, blocks, persistSizes = false)
     val docs =
       try {
         val scored = PairScoring.score(spark, gen.pairs, feats)
         val edges = scored.where(col("isDuplicate"))
           .select(col("src"), col("dst")).as[Edge]
-        val assigned = ConnectedComponents.assign(spark, edges, feats.select(col("id")))
+        // dedupEdges=false: positive scored pairs are unique (src,dst) by
+        // construction — see ConnectedComponents.assign scaladoc
+        val assigned = ConnectedComponents.assign(
+          spark, edges, feats.select(col("id")), dedupEdges = false)
         assigned.count()
       } finally {
         // deterministic, BLOCKING cleanup: a repeated-pass session must end

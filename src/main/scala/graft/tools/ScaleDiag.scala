@@ -33,6 +33,12 @@ object ScaleDiag {
     val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val stageTask = new java.util.concurrent.ConcurrentHashMap[String, LongAdder]()
+    // per-job: (wall ms, taskSum ms, representative stage site) — the jobs
+    // whose wall does NOT shrink with cores are the serial floor
+    val jobStages = new java.util.concurrent.ConcurrentHashMap[Int, Seq[Int]]()
+    val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    val jobTask = new java.util.concurrent.ConcurrentHashMap[Int, LongAdder]()
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageSubmitted(st: SparkListenerStageSubmitted): Unit = {
         val site = st.stageInfo.details.linesIterator
@@ -46,14 +52,25 @@ object ScaleDiag {
           gcTime.add(t.taskMetrics.jvmGCTime)
           val key = stageNames.getOrDefault(t.stageId, s"stage-${t.stageId}")
           stageTask.computeIfAbsent(key, _ => new LongAdder).add(t.taskMetrics.executorRunTime)
+          val jid = stageJob.getOrDefault(t.stageId, -1)
+          if (jid >= 0) jobTask.computeIfAbsent(jid, _ => new LongAdder)
+            .add(t.taskMetrics.executorRunTime)
         }
       }
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        jobStarts.put(j.jobId, j.time); nJobs.incrementAndGet(); ()
+        jobStarts.put(j.jobId, j.time); nJobs.incrementAndGet()
+        jobStages.put(j.jobId, j.stageIds)
+        j.stageIds.foreach(sid => stageJob.put(sid, j.jobId)); ()
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
         val s = jobStarts.remove(j.jobId)
-        if (s != 0L) jobTime.add(j.time - s)
+        if (s != 0L) {
+          jobTime.add(j.time - s)
+          val sites = jobStages.getOrDefault(j.jobId, Seq.empty)
+            .flatMap(sid => Option(stageNames.get(sid))).distinct.mkString(" | ")
+          val tsk = Option(jobTask.get(j.jobId)).map(_.sum()).getOrElse(0L)
+          jobLog.add(f"job=${j.jobId}%3d wall=${(j.time - s) / 1e3}%6.2f taskSum=${tsk / 1e3}%7.2f  $sites")
+        }
       }
     })
 
@@ -76,8 +93,9 @@ object ScaleDiag {
         stageTask.asScala.toSeq.sortBy(-_._2.sum()).take(14).foreach { case (k, v) =>
           println(f"[scalediag]   ${v.sum() / 1e3}%8.1f s  $k")
         }
+        jobLog.asScala.foreach(l => println(s"[scalediag]   $l"))
       }
-      stageTask.clear()
+      stageTask.clear(); jobLog.clear(); jobTask.clear()
     }
     spark.stop()
   }
