@@ -940,6 +940,66 @@ object Queries {
        |SELECT id AS vec_id, CAST(min(comp) AS BIGINT) AS canonical
        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q41
+  private val IvfCentroids = 16
+  private val IvfNProbe = 4
+
+  /** IVF-flat ANN (the inverted-file scale path next to sign-LSH q34):
+    * broadcast centroid codebook (deterministic: lowest-id vectors; the
+    * production k-means codebook ships the same way) → map-side inverted-
+    * list assignment (no shuffle) → nprobe probe join → exact rounded-
+    * cosine rerank, top-3 per query (queries = vec_id < 20). Assignment
+    * and ranking use 4dp-rounded cosines with id tiebreaks, so the oracle
+    * recomputes every list, probe, and rank. */
+  private val q41: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.SimilaritySearch
+    import graft.operators.SimilaritySearch.EmbeddingRow
+    val emb = t(s, d, "embeddings")
+      .selectExpr("vec_id AS id", "embedding AS vec").as[EmbeddingRow]
+    val queries = emb.filter((r: EmbeddingRow) => r.id < 20)
+    SimilaritySearch.ivfFlatTopK(s, queries, emb, k = 3, IvfCentroids, IvfNProbe)
+      .orderBy("qid", "rnk")
+  }
+
+  /** DuckDB cosine between two embedding list columns (double arithmetic
+    * in sequence order — bit-identical to the engine's denseCosine). */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       |            t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+       |      / sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |           * list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
+
+  private lazy val q41Sql =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+       |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $IvfCentroids)),
+       |asg AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT e.vec_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${cosSql("e.embedding", "c.cvec")}, 4) DESC, c.cent_id) AS rn
+       |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+       |probe AS (
+       |  SELECT qid, cent_id FROM (
+       |    SELECT q.vec_id AS qid, c.cent_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${cosSql("q.embedding", "c.cvec")}, 4) DESC, c.cent_id) AS rn
+       |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 20) WHERE rn <= $IvfNProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.qid, a.vec_id AS cid
+       |  FROM probe p JOIN asg a USING (cent_id) WHERE a.vec_id <> p.qid),
+       |scored AS (
+       |  SELECT c.qid, c.cid, round(${cosSql("a.embedding", "b.embedding")}, 4) AS cos_sim
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.qid
+       |  JOIN embeddings b ON b.vec_id = c.cid),
+       |ranked AS (
+       |  SELECT qid, cid, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT qid, cid, cos_sim, rnk FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
   // ---------------------------------------------------------------- q37
   /** Tumbling time buckets over the events stream table: hourly
     * date_trunc + per-type aggregates — the batch form of a windowed
@@ -1057,7 +1117,8 @@ object Queries {
     "q37_time_buckets" -> q37,
     "q38_sessionize" -> q38,
     "q39_json_extract" -> q39,
-    "q40_embed_neardup" -> q40)
+    "q40_embed_neardup" -> q40,
+    "q41_ann_ivf" -> q41)
 
   val oracles: Map[String, String] = Map(
     "q01_group_agg" -> q01Sql,
@@ -1099,5 +1160,6 @@ object Queries {
     "q37_time_buckets" -> q37Sql,
     "q38_sessionize" -> q38Sql,
     "q39_json_extract" -> q39Sql,
-    "q40_embed_neardup" -> q40Sql)
+    "q40_embed_neardup" -> q40Sql,
+    "q41_ann_ivf" -> q41Sql)
 }

@@ -169,6 +169,13 @@ object Blocking {
       }
       .toDF("token", "cnt")
       .groupBy("token").agg(sum("cnt").as("df"))
+      // singletons never need to ship: a df=1 row yields exactly the same
+      // weight as an absent row (both sides of the lookup compute
+      // tf·log((n+1)/2)), and hapax legomena are ~half of any natural
+      // vocabulary — dropping them halves the collect + broadcast + search
+      // table with zero semantic change. The sentinel (df = n) survives
+      // whenever n ≥ 2; the n = 1 corner keeps it via the OR.
+      .where(col("df") >= 2 || col("token") === SentinelToken)
     // Common case: the vocabulary fits the broadcast budget — plain
     // collect, NO global sort (CollectLimit probes for K+1 rows and stops).
     // Overflow: global top-K by df keeps the head; the sentinel has df = n
@@ -262,11 +269,21 @@ object Blocking {
     * de-duplicated across keys (one scoring per pair regardless of how
     * many keys co-locate it) and salted-repartitioned by pair hash so the
     * scoring stage is skew-free by construction. */
+  /** @param broadcastSizes hint the block-size histogram to broadcast in
+    *   the eligibility join. Under AQE the same decision is made at
+    *   runtime from the histogram's actual size (one block-count row per
+    *   distinct key — a few MB up to ~100M-doc corpora), which is the
+    *   right default: at 10^12-doc scale the histogram outgrows any
+    *   broadcast budget and must shuffle. Set true only when the plan is
+    *   static (AQE off) AND the corpus is known to be broadcast-sized —
+    *   without it a static plan falls back to shuffling every block entry
+    *   through a sort-merge join. */
   def candidatePairs(
       spark: SparkSession,
       entries: Dataset[BlockEntry],
       maxBlockSize: Int = DefaultMaxBlockSize,
-      persistSizes: Boolean = true): CandidatePairGen = {
+      persistSizes: Boolean = true,
+      broadcastSizes: Boolean = false): CandidatePairGen = {
     import spark.implicits._
     val sizesBase = entries.groupBy("key").agg(count(lit(1)).as("sz"))
     // persistSizes=true shares one computation of the block histogram
@@ -285,8 +302,9 @@ object Blocking {
         sizes.unpersist(blocking = true); ()
       }
     val hotBlocks = () => sizes.where(col("sz") > maxBlockSize).count()
+    val eligibleSizes = sizes.where(col("sz") >= 2 && col("sz") <= maxBlockSize)
     val eligible = entries.join(
-      sizes.where(col("sz") >= 2 && col("sz") <= maxBlockSize), "key")
+      if (broadcastSizes) broadcast(eligibleSizes) else eligibleSizes, "key")
       .select(col("key"), col("id")).as[BlockEntry]
     val pairs = eligible
       .groupByKey(_.key)

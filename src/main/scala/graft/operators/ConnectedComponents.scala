@@ -89,6 +89,36 @@ object ConnectedComponents {
       allVertices: DataFrame, // single column "id"
       maxIterations: Int = 30,
       dedupEdges: Boolean = true): DataFrame = {
+    // Converged assignments are materialized to session-local parquet and
+    // every checkpoint released (BLOCKING) before returning: the caller
+    // gets a DataFrame with NO dependency on cached blocks — the at-scale
+    // shape (cluster assignments are an output TABLE, not a lineage
+    // hanging off O(log n) iterative rounds). Cost: one write+read of the
+    // (id, comp) pairs; callers that consume the assignment exactly once
+    // can skip it via [[assignManaged]].
+    val (df, release) = assignManaged(spark, edges, allVertices, maxIterations, dedupEdges)
+    if (release eq NoRelease) return df // singleton fast path: no checkpoint to decouple
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_cc_assign").resolve("assignments").toString
+    df.write.mode("overwrite").parquet(outDir)
+    release()
+    spark.read.parquet(outDir)
+  }
+
+  private val NoRelease: () => Unit = () => ()
+
+  /** Like [[assign]] but the returned frame stays backed by the final
+    * round's locally-checkpointed RDD; the second element releases it
+    * (BLOCKING, idempotent). For callers that materialize the assignment
+    * exactly once — a pipeline that counts it, or commits it straight to
+    * its own snapshot store — and then release in a `finally`: skips
+    * [[assign]]'s parquet write+read decoupling roundtrip. */
+  def assignManaged(
+      spark: SparkSession,
+      edges: Dataset[Edge],
+      allVertices: DataFrame, // single column "id"
+      maxIterations: Int = 30,
+      dedupEdges: Boolean = true): (DataFrame, () => Unit) = {
     import spark.implicits._
     // Unpersisting a superseded localCheckpointed round logs Spark's
     // "cannot be recomputed after unpersisting" WARN. Here that is the
@@ -131,28 +161,26 @@ object ConnectedComponents {
       prev = fp
       iter += 1
     }
-    // Converged edge set is a forest of stars (child -> root). The final
-    // assignment table is materialized to session-local parquet and every
-    // checkpoint released (BLOCKING) before returning: the caller gets a
-    // DataFrame with NO dependency on cached blocks, so repeated pipeline
-    // passes in one session cannot accumulate storage (asserted in
-    // EntityResolutionSpec). This is also the at-scale shape — cluster
-    // assignments are an output TABLE, not a lineage hanging off 20
-    // iterative rounds. Cost: one write+read of the (id, comp) pairs.
+    // Converged edge set is a forest of stars (child -> root); the
+    // assignment frame hangs off the final round's checkpoint, released
+    // by the returned thunk (repeated pipeline passes must end with zero
+    // surviving storage blocks — asserted in EntityResolutionSpec).
     if (prev._1 == 0L) { // no edges at all: everyone is a singleton
       e.unpersist(blocking = true)
-      return allVertices.select(col("id"), col("id").as("comp"))
+      return (allVertices.select(col("id"), col("id").as("comp")), NoRelease)
     }
     val assignments = e
       .flatMap { case (s, d) => Iterator((s, d), (d, d)) }
       .reduceByKey(hp, (a: Long, b: Long) => math.min(a, b))
       .toDF("id", "comp")
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft_cc_assign").resolve("assignments").toString
-    assignments.write.mode("overwrite").parquet(outDir)
-    e.unpersist(blocking = true)
-    allVertices.select(col("id"))
-      .join(spark.read.parquet(outDir), Seq("id"), "left")
+    val result = allVertices.select(col("id"))
+      .join(assignments, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    val finalRound = e
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    (result, () => {
+      if (released.compareAndSet(false, true)) finalRound.unpersist(blocking = true)
+      ()
+    })
   }
 }

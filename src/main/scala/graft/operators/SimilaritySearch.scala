@@ -143,6 +143,80 @@ object SimilaritySearch {
       .toDF("qid", "cid", "cosine")
   }
 
+  val DefaultNumCentroids = 16
+  val DefaultNProbe = 4
+
+  /** Spark `round(_, 4)` / DuckDB `round(_, 4)` parity: half away from
+    * zero. Assignment decisions made in Scala code (the coarse quantizer)
+    * must round exactly like the SQL oracle's `round(cs, 4)`. */
+  def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Nearest centroid id by 4dp-rounded cosine, smaller id on ties —
+    * identical to `row_number() OVER (ORDER BY cs DESC, cent_id)` = 1. */
+  def nearestCentroids(
+      vec: Array[Float], centroids: Array[(Long, Array[Float])], n: Int): Array[Long] =
+    centroids
+      .map { case (cid, cvec) => (round4(denseCosine(vec, cvec)), cid) }
+      .sortBy { case (cs, cid) => (-cs, cid) }
+      .take(n)
+      .map(_._2)
+
+  /** IVF-flat approximate top-k — the inverted-file ANN layout (the other
+    * standard scale path next to sign-LSH [[lshTopK]]):
+    *
+    *  - coarse quantizer: a small centroid codebook, BROADCAST (the IVF
+    *    invariant — codebooks are ≤64k entries by construction, exactly
+    *    Spark's small-dim broadcast case). Deterministic stand-in here:
+    *    the `numCentroids` lowest-id corpus vectors. Production trains
+    *    k-means offline and ships the codebook the same way; every other
+    *    moving part (map-side assignment, inverted lists, probe join,
+    *    exact rerank) is the real operator.
+    *  - inverted lists: each corpus row assigned map-side to its nearest
+    *    centroid (NO shuffle — the classic IVF win over all-pairs);
+    *  - probe: each query scores the codebook and joins the `nprobe`
+    *    nearest lists; candidates are (qid, cid) ids only, vectors
+    *    re-attached after dedup (same payload discipline as LSH);
+    *  - exact rerank: cosine in mapPartitions, per-query top-k window.
+    *
+    * Assignment + ranking use 4dp-rounded cosines with id tiebreaks, so a
+    * SQL oracle reproduces every list, probe, and rank bit-for-bit. */
+  def ivfFlatTopK(
+      spark: SparkSession,
+      queries: Dataset[EmbeddingRow],
+      corpus: Dataset[EmbeddingRow],
+      k: Int,
+      numCentroids: Int = DefaultNumCentroids,
+      nprobe: Int = DefaultNProbe): DataFrame = {
+    import spark.implicits._
+    val codebook = corpus.orderBy(col("id")).limit(numCentroids)
+      .collect().map(r => (r.id, r.vec)).sortBy(_._1)
+    val centB = spark.sparkContext.broadcast(codebook)
+    val lists = corpus.map { r =>
+      (nearestCentroids(r.vec, centB.value, 1)(0), r.id)
+    }.toDF("cent_id", "cid")
+    val probes = queries.flatMap { q =>
+      nearestCentroids(q.vec, centB.value, nprobe).map(c => (c, q.id))
+    }.toDF("cent_id", "qid")
+    val candIds = probes.join(lists, "cent_id")
+      .where(col("qid") =!= col("cid"))
+      .select("qid", "cid")
+      .dropDuplicates("qid", "cid") // a cid can sit in ≤1 list, but qid probes overlap after the join
+    candIds
+      .join(queries.toDF("qid", "qvec"), "qid")
+      .join(corpus.toDF("cid", "cvec"), "cid")
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(_.map { case (cid, qid, qvec, cvec) =>
+        (qid, cid, denseCosine(qvec, cvec))
+      })
+      .toDF("qid", "cid", "cosine")
+      .withColumn("cos_sim", round(col("cosine"), 4))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "cid", "cos_sim", "rnk")
+  }
+
   /** LSH-bucketed approximate top-k (production wrapper): candidates from
     * [[lshCandidates]], per-query top-k window. */
   def lshTopK(

@@ -75,15 +75,22 @@ object EntityResolution {
       PairScoring.score(spark, pairs, feats).toDF())
     val edges = scored.where(col("isDuplicate"))
       .select(col("src"), col("dst")).as[Edge]
-    val assignments = store.getOrCreate("clusters") {
-      val vertices = feats.select(col("id"))
-      // scored-pair edges are unique (src,dst) by construction
-      val assigned = ConnectedComponents.assign(
-        spark, edges, vertices, dedupEdges = false)
-      feats.select(col("id"), col("url"))
-        .join(assigned, "id")
-        .select(col("url"), col("id"), col("comp").as("cluster"))
-    }
+    // assignManaged: the snapshot commit below is the single
+    // materialization (SnapshotStore writes its own parquet table), so
+    // assign()'s internal decoupling roundtrip would be a redundant
+    // second write; the checkpoint is released once the commit returns
+    var relCC: () => Unit = () => ()
+    val assignments =
+      try store.getOrCreate("clusters") {
+        val vertices = feats.select(col("id"))
+        // scored-pair edges are unique (src,dst) by construction
+        val (assigned, rel) = ConnectedComponents.assignManaged(
+          spark, edges, vertices, dedupEdges = false)
+        relCC = rel
+        feats.select(col("id"), col("url"))
+          .join(assigned, "id")
+          .select(col("url"), col("id"), col("comp").as("cluster"))
+      } finally relCC()
     assignments
   }
 
@@ -124,39 +131,59 @@ object EntityResolution {
     * cluster) and the scaling-bench measurement unit: corpus generation is
     * benchmark scaffolding, not pipeline work, so it happens once outside
     * the timed region. Returns (docs clustered, seconds). */
-  def runOnTable(spark: SparkSession, path: String): (Long, Double) = {
+  /** @param staticPlan the session runs this pipeline with AQE disabled
+    *   and the corpus is known broadcast-sized: declare the one decision
+    *   AQE was making (broadcast the block-histogram eligibility join)
+    *   explicitly. Without the hint an AQE-off session falls back to
+    *   shuffling every block entry through a sort-merge join.
+    * @param lean specialized memory flags: Kryo-serialized caches, no
+    *   histogram persist, no defensive edge dedup. Measured faster at
+    *   every core count than the defaults (BENCH.md "fast-flags
+    *   variant"); default false — the scaling artifact measures the
+    *   library-default path. */
+  def runOnTable(
+      spark: SparkSession, path: String, staticPlan: Boolean = false,
+      lean: Boolean = false): (Long, Double) = {
     import spark.implicits._
-    runOnPages(spark, spark.read.parquet(path).as[WebPage])
+    runOnPages(spark, spark.read.parquet(path).as[WebPage], staticPlan, lean)
   }
 
-  private def runOnPages(spark: SparkSession, pages: Dataset[WebPage]): (Long, Double) = {
+  private def runOnPages(
+      spark: SparkSession, pages: Dataset[WebPage],
+      staticPlan: Boolean = false, lean: Boolean = false): (Long, Double) = {
     import org.apache.spark.storage.StorageLevel
     import spark.implicits._
     val t0 = System.nanoTime()
-    val extracted = extract(spark, pages)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val feats = Blocking.features(spark, extracted)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Library-default configuration unless the caller opts into the
+    // specialized flags (see runOnTable scaladoc + BENCH.md "fast-flags
+    // variant"): the north rule's measured unit of work runs the defaults
+    // a user gets, not hand-specialized fast paths.
+    val level =
+      if (lean) StorageLevel.MEMORY_AND_DISK_SER else StorageLevel.MEMORY_AND_DISK
+    val extracted = extract(spark, pages).persist(level)
+    val feats = Blocking.features(spark, extracted).persist(level)
     val blocks = Blocking.blockEntries(spark, feats)
-    // persistSizes=false: this path never forces the hot-block counter, so
-    // the histogram is read exactly once (by the eligibility join) — a
-    // cache entry would be a pure write with no second reader
-    val gen = Blocking.candidatePairs(spark, blocks, persistSizes = false)
+    val gen = Blocking.candidatePairs(spark, blocks, persistSizes = !lean,
+      broadcastSizes = staticPlan)
+    var relCC: () => Unit = () => ()
     val docs =
       try {
         val scored = PairScoring.score(spark, gen.pairs, feats)
         val edges = scored.where(col("isDuplicate"))
           .select(col("src"), col("dst")).as[Edge]
-        // dedupEdges=false: positive scored pairs are unique (src,dst) by
-        // construction — see ConnectedComponents.assign scaladoc
-        val assigned = ConnectedComponents.assign(
-          spark, edges, feats.select(col("id")), dedupEdges = false)
+        // managed variant: the count below is the single materialization,
+        // so the parquet decoupling roundtrip of assign() buys nothing —
+        // the checkpoint is released in the finally instead
+        val (assigned, rel) = ConnectedComponents.assignManaged(
+          spark, edges, feats.select(col("id")), dedupEdges = !lean)
+        relCC = rel
         assigned.count()
       } finally {
         // deterministic, BLOCKING cleanup: a repeated-pass session must end
         // each pass with zero surviving storage blocks (asserted in
         // EntityResolutionSpec) — cleanup coupled to GC or to an optional
         // counter thunk is exactly the leak shape of degrading bench passes
+        relCC()
         gen.release()
         feats.unpersist(blocking = true)
         extracted.unpersist(blocking = true)

@@ -89,4 +89,46 @@ class SimilaritySearchSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val n = corpus1.count()
     assert(c1 < 25L * n / 2, s"candidates = $c1 of ${25L * n}")
   }
+
+  test("IVF assignment picks the argmax-cosine centroid (rounded, id tiebreak)") {
+    val codebook = embeddings.collect().sortBy(_.id).take(16).map(r => (r.id, r.vec))
+    embeddings.collect().take(50).foreach { r =>
+      val got = SimilaritySearch.nearestCentroids(r.vec, codebook, 1)(0)
+      val want = codebook
+        .map { case (cid, cv) =>
+          (SimilaritySearch.round4(graft.functions.Similarity.denseCosine(r.vec, cv)), cid)
+        }
+        .maxBy { case (cs, cid) => (cs, -cid) }._2
+      assert(got == want, s"vec ${r.id}: assigned $got, argmax $want")
+    }
+  }
+
+  test("IVF-flat: probed-list containment, rank bound, and recall vs brute force") {
+    import spark.implicits._
+    val queries = embeddings.filter((r: EmbeddingRow) => r.id < 20)
+    val ivf = SimilaritySearch.ivfFlatTopK(spark, queries, embeddings, 3).collect()
+    assert(ivf.nonEmpty)
+    // per-query: ranks are 1..k without gaps, no self-matches
+    ivf.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length))
+      assert(!rows.exists(r => r.getLong(1) == r.getLong(0)))
+    }
+    // every returned candidate really sits in one of its query's probed
+    // lists — the defining IVF invariant (no candidate outside the probes)
+    val codebook = embeddings.collect().sortBy(_.id).take(16).map(r => (r.id, r.vec))
+    val vecs = embeddings.collect().map(r => r.id -> r.vec).toMap
+    ivf.foreach { r =>
+      val probed = SimilaritySearch.nearestCentroids(vecs(r.getLong(0)), codebook, 4).toSet
+      val assigned = SimilaritySearch.nearestCentroids(vecs(r.getLong(1)), codebook, 1)(0)
+      assert(probed.contains(assigned),
+        s"qid ${r.getLong(0)}: cid ${r.getLong(1)} from unprobed list $assigned")
+    }
+    // recall@1 vs exact brute force: with nprobe=4 of 16 lists, most
+    // queries' true nearest neighbor sits in a probed list
+    val exact1 = SimilaritySearch.bruteForceTopK(spark, queries, embeddings, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ivf1 = ivf.filter(_.getLong(3) == 1L).map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hits = exact1.count { case (q, c) => ivf1.get(q).contains(c) }
+    assert(hits >= (exact1.size * 0.5).toInt, s"recall@1 $hits/${exact1.size}")
+  }
 }
