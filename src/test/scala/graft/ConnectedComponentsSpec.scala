@@ -66,4 +66,32 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       check(n, edges)
     }
   }
+
+  test("assignManaged matches assign, and release frees every block") {
+    import spark.implicits._
+    val edges = Seq(Edge(0L, 1L), Edge(1L, 2L), Edge(5L, 6L)).toDS()
+    val vertices = (0L until 8L).toDF("id")
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+    val (managed, release) =
+      ConnectedComponents.assignManaged(spark, edges, vertices)
+    val got = managed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaParquet = ConnectedComponents.assign(spark, edges, vertices)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == viaParquet)
+    release(); release() // idempotent
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- preexisting
+    assert(leaked.isEmpty, s"release() left persisted RDDs: $leaked")
+  }
+
+  test("dedupEdges=false is exact when input edges are unique") {
+    // the pipeline's contract: unique (src,dst) edges may skip the
+    // defensive distinct without changing the assignment
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L), (6L, 5L))
+    val edgeDs = edges.map { case (a, b) => Edge(a, b) }.toDS()
+    val vertices = (0L until 8L).toDF("id")
+    val fast = ConnectedComponents.assign(spark, edgeDs, vertices, dedupEdges = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == unionFindOracle(8, edges))
+  }
 }

@@ -105,6 +105,24 @@ class EntityResolutionSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"passes degrade within one session: $times")
   }
 
+  test("fast flags (staticPlan + lean) cluster identically to the defaults") {
+    import spark.implicits._
+    // the opt-in fast path (broadcast-hinted histogram, SER caches, no
+    // histogram persist, no defensive edge dedup) is a pure execution
+    // specialization: same docs clustered, zero surviving blocks. AQE is
+    // ON in this session — the broadcast hint must also be harmless there.
+    val corpus = tmpDir("er-fast-") + "/webpages"
+    graft.sources.WebPagesGen.webpages(spark, 200L).toDF()
+      .write.mode("overwrite").parquet(corpus)
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+    val (docsDefault, _) = EntityResolution.runOnTable(spark, corpus)
+    val (docsFast, _) =
+      EntityResolution.runOnTable(spark, corpus, staticPlan = true, lean = true)
+    assert(docsFast == docsDefault)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- preexisting
+    assert(leaked.isEmpty, s"fast-flags pass leaked persisted RDDs: $leaked")
+  }
+
   test("labeled pairs include shared-key negatives") {
     import spark.implicits._
     val labeled: Array[LabeledPair] =
