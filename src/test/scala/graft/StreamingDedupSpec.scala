@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Blocking.ExtractedDoc
+import graft.pipeline.EntityResolution
+import graft.streaming.StreamingDedup
+import graft.streaming.StreamingDedup.{BlockedDoc, DupEdge}
+
+/** Streaming incremental record linkage: the planted webpages corpus fed
+  * through a MemoryStream in three triggers must yield duplicate edges
+  * whose transitive closure matches the labeled pairs at the batch
+  * pipeline's bar (pairwise F1 ≥ 0.99) — block state carried across
+  * triggers is what links documents arriving in different micro-batches. */
+class StreamingDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private val NClusters = 200L
+
+  private def extractedDocs: Array[ExtractedDoc] = {
+    import spark.implicits._
+    val pages = graft.sources.WebPagesGen.webpages(spark, NClusters)
+    EntityResolution.extract(spark, pages).collect().sortBy(_.id)
+  }
+
+  test("scoreBlock state transition: links across calls, caps hot blocks") {
+    // minimal in-memory GroupState (the impl class is private[sql])
+    final class TestState extends org.apache.spark.sql.streaming.GroupState[StreamingDedup.BlockState] {
+      private var v: Option[StreamingDedup.BlockState] = None
+      override def exists: Boolean = v.isDefined
+      override def get: StreamingDedup.BlockState = v.get
+      override def getOption: Option[StreamingDedup.BlockState] = v
+      override def update(s: StreamingDedup.BlockState): Unit = { v = Some(s) }
+      override def remove(): Unit = { v = None }
+      override def hasTimedOut: Boolean = false
+      override def setTimeoutDuration(ms: Long): Unit = ()
+      override def setTimeoutDuration(d: String): Unit = ()
+      override def setTimeoutTimestamp(ms: Long): Unit = ()
+      override def setTimeoutTimestamp(ms: Long, add: String): Unit = ()
+      override def setTimeoutTimestamp(ts: java.sql.Date): Unit = ()
+      override def setTimeoutTimestamp(ts: java.sql.Date, add: String): Unit = ()
+      override def getCurrentWatermarkMs(): Long = 0L
+      override def getCurrentProcessingTimeMs(): Long = 0L
+    }
+    def freshState = new TestState
+    val a = BlockedDoc(1L, 10L, Array(1L, 2L, 3L, 4L))
+    val b = BlockedDoc(1L, 11L, Array(1L, 2L, 3L, 5L)) // jaccard 3/5 = 0.6
+    val c = BlockedDoc(1L, 12L, Array(100L, 200L)) // unrelated
+    val st = freshState
+    // trigger 1: a alone — no pairs yet, state remembers it
+    assert(StreamingDedup.scoreBlock(128)(1L, Iterator(a), st).isEmpty)
+    // trigger 2: b arrives, links to a ACROSS the trigger boundary; c doesn't
+    val out2 = StreamingDedup.scoreBlock(128)(1L, Iterator(b, c), st).toSeq
+    assert(out2 == Seq(DupEdge(10L, 11L, 0.6)))
+    // re-delivery of an already-seen id is ignored
+    assert(StreamingDedup.scoreBlock(128)(1L, Iterator(b), st).isEmpty)
+    // hot-block cap: once members exceed the cap, the block goes dark
+    val st2 = freshState
+    assert(StreamingDedup.scoreBlock(2)(1L, Iterator(a, b, c), st2).nonEmpty)
+    val d = BlockedDoc(1L, 13L, Array(1L, 2L, 3L, 4L)) // would match a
+    assert(StreamingDedup.scoreBlock(2)(1L, Iterator(d), st2).isEmpty)
+  }
+
+  test("drained stream edges cluster to pairwise F1 >= 0.99, state across 3 triggers") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = extractedDocs
+    // interleave cluster variants across triggers: consecutive ids are the
+    // SAME cluster's variants, so a round-robin split guarantees most true
+    // pairs span trigger boundaries — the state-carrying case
+    val parts = (0 until 3).map(k => docs.zipWithIndex.collect {
+      case (d, i) if i % 3 == k => d
+    })
+    val stream = MemoryStream[ExtractedDoc]
+    val edgesDf = StreamingDedup.duplicateEdges(
+      spark, StreamingDedup.blockedDocs(spark, stream.toDS()))
+    val query = edgesDf.writeStream.format("memory")
+      .queryName("graft_sdedup_test").outputMode("append").start()
+    try {
+      parts.foreach { p =>
+        stream.addData(p.toIndexedSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val edges = spark.table("graft_sdedup_test")
+      .select("src", "dst").distinct().as[graft.model.Edge]
+    assert(edges.count() > 0)
+    // transitive closure + labeled-pair F1, exactly like the batch pipeline
+    val ids = docs.map(d => d.id -> d.url).toMap
+    val assigned = graft.operators.ConnectedComponents.assign(
+      spark, edges, docs.map(_.id).toSeq.toDF("id"))
+    val urls = assigned.collect().map(r => (ids(r.getLong(0)), r.getLong(1)))
+      .toSeq.toDF("url", "cluster")
+    val labeled = graft.sources.WebPagesGen.labeledPairs(spark, NClusters)
+    val report = EntityResolution.pairwiseF1(spark, urls, labeled)
+    assert(report.f1 >= 0.99, s"streaming F1 ${report.f1} (tp=${report.tp} fp=${report.fp} fn=${report.fn})")
+  }
+}
