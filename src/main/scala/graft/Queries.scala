@@ -1000,6 +1000,71 @@ object Queries {
        |  FROM scored)
        |SELECT qid, cid, cos_sim, rnk FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+  /** Grouping sets via ROLLUP over (event_type, day): per-(type,day)
+    * aggregates + per-type subtotals + grand total in one pass — a
+    * category the reference has nowhere (SURVEY §2.8); Spark plans it as
+    * a single Expand + partial-agg shuffle, the same shape at any scale.
+    * Rollup NULL group keys are COALESCE'd to a sentinel on both engines:
+    * engine-neutral, and unambiguous because neither column is nullable
+    * in the events table. */
+  private val q42: Q = (s, d) =>
+    t(s, d, "events")
+      .rollup(col("event_type"), to_date(col("ts")).cast("string").as("day"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+      .select(
+        coalesce(col("event_type"), lit("<all>")).as("event_type"),
+        coalesce(col("day"), lit("<all>")).as("day"),
+        col("cnt"), col("sum_value"))
+      .orderBy("event_type", "day")
+
+  private lazy val q42Sql =
+    s"""SELECT coalesce(event_type, '<all>') AS event_type,
+       |  coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), '<all>') AS day,
+       |  count(*) AS cnt,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+       |FROM events
+       |GROUP BY ROLLUP(event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
+       |ORDER BY event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------- q43
+  /** INTERSECT / EXCEPT (set semantics — another §2.8 absent category):
+    * parts ordered in BOTH the two largest order-year cohorts, minus
+    * those also ordered in the smallest; one distinct-aggregate shuffle
+    * per leg, then hash set-ops. */
+  private val q43: Q = (s, d) => {
+    val li = t(s, d, "lineitem").select(col("l_partkey"), col("l_orderkey"))
+    val ord = t(s, d, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("yr"))
+    val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").as("partkey"), col("yr"))
+    def inYear(y: org.apache.spark.sql.Column) =
+      joined.where(col("yr") === y).select("partkey").distinct()
+    val years = joined.select("yr").distinct().orderBy(col("yr"))
+      .collect().map(_.getInt(0))
+    val (loYr, hiYr, minYr) = (years(years.length - 2), years.last, years.head)
+    inYear(lit(loYr)).intersect(inYear(lit(hiYr)))
+      .except(inYear(lit(minYr)))
+      .orderBy("partkey")
+  }
+
+  private lazy val q43Sql =
+    s"""WITH j AS (
+       |  SELECT l_partkey AS partkey, EXTRACT(year FROM o_orderdate) AS yr
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |yrs AS (SELECT DISTINCT yr FROM j),
+       |lo AS (SELECT yr FROM yrs ORDER BY yr DESC OFFSET 1 LIMIT 1),
+       |hi AS (SELECT max(yr) AS yr FROM yrs),
+       |mn AS (SELECT min(yr) AS yr FROM yrs)
+       |SELECT DISTINCT partkey FROM j WHERE yr = (SELECT yr FROM lo)
+       |INTERSECT
+       |SELECT DISTINCT partkey FROM j WHERE yr = (SELECT yr FROM hi)
+       |EXCEPT
+       |SELECT DISTINCT partkey FROM j WHERE yr = (SELECT yr FROM mn)
+       |ORDER BY partkey""".stripMargin
+
   // ---------------------------------------------------------------- q37
   /** Tumbling time buckets over the events stream table: hourly
     * date_trunc + per-type aggregates — the batch form of a windowed
@@ -1118,7 +1183,9 @@ object Queries {
     "q38_sessionize" -> q38,
     "q39_json_extract" -> q39,
     "q40_embed_neardup" -> q40,
-    "q41_ann_ivf" -> q41)
+    "q41_ann_ivf" -> q41,
+    "q42_rollup" -> q42,
+    "q43_setops" -> q43)
 
   val oracles: Map[String, String] = Map(
     "q01_group_agg" -> q01Sql,
@@ -1161,5 +1228,7 @@ object Queries {
     "q38_sessionize" -> q38Sql,
     "q39_json_extract" -> q39Sql,
     "q40_embed_neardup" -> q40Sql,
-    "q41_ann_ivf" -> q41Sql)
+    "q41_ann_ivf" -> q41Sql,
+    "q42_rollup" -> q42Sql,
+    "q43_setops" -> q43Sql)
 }
