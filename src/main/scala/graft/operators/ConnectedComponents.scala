@@ -98,8 +98,7 @@ object ConnectedComponents {
     // can skip it via [[assignManaged]].
     val (df, release) = assignManaged(spark, edges, allVertices, maxIterations, dedupEdges)
     if (release eq NoRelease) return df // singleton fast path: no checkpoint to decouple
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft_cc_assign").resolve("assignments").toString
+    val outDir = graft.util.Scratch.unique("cc_assign")
     df.write.mode("overwrite").parquet(outDir)
     release()
     spark.read.parquet(outDir)

@@ -35,11 +35,16 @@ import graft.operators.Blocking.ExtractedDoc
   *
   * Scale shape: state is hash-partitioned by blocking key (the same
   * shuffle the batch groupByKey does), bounded per key by the stop-block
-  * cap; total state is the corpus's token-sketch size. A perpetual ingest
-  * bounds key lifetime with a state timeout (eviction = "this block's
-  * history ages out") — wire `GroupStateTimeout.ProcessingTimeTimeout`
-  * for that; the default here keeps blocks forever, the bounded-crawl
-  * shape.
+  * cap. Each document's full token-hash array is stored once per blocking
+  * key it lands in — 1 title key + up to `NumMinHashes/RowsPerBand` LSH
+  * band keys — so steady-state keyed state is up to (1 + numBands)× the
+  * corpus's token-sketch size (≈6× at the default 20 hashes / 4 rows per
+  * band), not 1×. A perpetual ingest bounds key LIFETIME with
+  * [[duplicateEdges]]'s `stateTtl`: blocks idle longer than the TTL are
+  * evicted via `GroupStateTimeout.ProcessingTimeTimeout` (eviction =
+  * "this block's history ages out"; a doc arriving after eviction scores
+  * against an empty block, so no edges straddle an eviction). The default
+  * `stateTtl = None` keeps blocks forever — the bounded-crawl shape.
   */
 object StreamingDedup {
 
@@ -87,22 +92,41 @@ object StreamingDedup {
   def duplicateEdges(
       spark: SparkSession,
       blocked: Dataset[BlockedDoc],
-      maxBlockSize: Int = DefaultMaxBlockSize): Dataset[DupEdge] = {
+      maxBlockSize: Int = DefaultMaxBlockSize,
+      stateTtl: Option[scala.concurrent.duration.FiniteDuration] = None): Dataset[DupEdge] = {
     import spark.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     blocked
       .groupByKey(_.key)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        scoreBlock(maxBlockSize) _)
+        OutputMode.Append, timeoutConf)(
+        scoreBlock(maxBlockSize, stateTtl.map(_.toMillis)) _)
   }
 
-  /** Pure state-transition function (unit-testable without a stream). */
-  def scoreBlock(maxBlockSize: Int)(
+  /** Pure state-transition function (unit-testable without a stream —
+    * `StreamingDedupSpec` drives it through `TestGroupState`, including
+    * the timeout transitions). With `ttlMs` set, every invocation
+    * refreshes the key's processing-time timeout (Spark clears it on each
+    * call), and a timed-out invocation removes the block's state — the
+    * eviction that bounds perpetual-ingest state. Dropped (hot-block)
+    * markers age out by the same TTL, so a stopped block eventually
+    * reopens fresh. */
+  def scoreBlock(maxBlockSize: Int, ttlMs: Option[Long] = None)(
       key: Long,
       docs: Iterator[BlockedDoc],
       state: GroupState[BlockState]): Iterator[DupEdge] = {
+    if (ttlMs.isDefined && state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     var st = state.getOption.getOrElse(BlockState(Array.empty, Array.empty, dropped = false))
-    if (st.dropped) { docs.foreach(_ => ()); return Iterator.empty }
+    if (st.dropped) {
+      docs.foreach(_ => ())
+      ttlMs.foreach(state.setTimeoutDuration) // keep the drop marker aging out
+      return Iterator.empty
+    }
     // deterministic within-trigger order (stream triggers impose no order)
     val arrived = docs.toArray.sortBy(_.id)
     val ids = scala.collection.mutable.ArrayBuffer.from(st.ids)
@@ -129,6 +153,7 @@ object StreamingDedup {
     state.update(
       if (dropped) BlockState(Array.empty, Array.empty, dropped = true)
       else BlockState(ids.toArray, toks.toArray, dropped = false))
+    ttlMs.foreach(state.setTimeoutDuration)
     out.result().iterator
   }
 }

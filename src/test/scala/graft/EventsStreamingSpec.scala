@@ -45,12 +45,21 @@ class EventsStreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
       stream.addData(second.toIndexedSeq)
       query.processAllAvailable()
     } finally query.stop()
+    // batch q37 emits sum_value as a canonical DECIMAL(18,2) string (r03
+    // driver-hash fix); render the streamed decimal through the identical
+    // cast chain before comparing
     val streamed = spark.table("graft_hb_test")
-      .select("bucket", "event_type", "cnt", "sum_value")
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDecimal(3)))
+      .select(
+        org.apache.spark.sql.functions.col("bucket"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("cnt"),
+        org.apache.spark.sql.functions.col("sum_value")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)).cast("string")
+          .as("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
       .sortBy(t => (t._1, t._2))
     val batch = Queries.all("q37_time_buckets")(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDecimal(3)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
       .sortBy(t => (t._1, t._2))
     assert(streamed.nonEmpty)
     assert(streamed.toSeq == batch.toSeq)

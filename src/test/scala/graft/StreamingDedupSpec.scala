@@ -95,4 +95,85 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val report = EntityResolution.pairwiseF1(spark, urls, labeled)
     assert(report.f1 >= 0.99, s"streaming F1 ${report.f1} (tp=${report.tp} fp=${report.fp} fn=${report.fn})")
   }
+
+  // ---- state eviction (VERDICT r03 #5): perpetual-ingest TTL -------------
+
+  private def ttlState(
+      init: Option[StreamingDedup.BlockState],
+      nowMs: Long,
+      timedOut: Boolean) =
+    org.apache.spark.sql.streaming.TestGroupState.create[StreamingDedup.BlockState](
+      org.apache.spark.api.java.Optional.fromNullable(init.orNull),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      nowMs,
+      org.apache.spark.api.java.Optional.empty[Long](),
+      timedOut)
+
+  test("stateTtl: timed-out block state is removed; post-eviction docs rescore fresh") {
+    val ttl = Some(60000L)
+    val a = BlockedDoc(1L, 10L, Array(1L, 2L, 3L, 4L))
+    val b = BlockedDoc(1L, 11L, Array(1L, 2L, 3L, 5L)) // would link to a (jac 0.6)
+    // 1. a arrives: state stored AND the processing-time timeout armed
+    val st1 = ttlState(None, nowMs = 1000L, timedOut = false)
+    assert(StreamingDedup.scoreBlock(128, ttl)(1L, Iterator(a), st1).isEmpty)
+    assert(st1.isUpdated && st1.getTimeoutTimestampMs.get() == 1000L + 60000L)
+    // 2. the key times out: Spark invokes with no docs + hasTimedOut —
+    //    the block's state must be GONE afterwards
+    val st2 = ttlState(st1.getOption, nowMs = 70000L, timedOut = true)
+    assert(StreamingDedup.scoreBlock(128, ttl)(1L, Iterator.empty, st2).isEmpty)
+    assert(st2.isRemoved, "timed-out block state not removed")
+    // 3. b arrives after eviction: scores against an EMPTY block — no edge
+    //    to the aged-out a, and b becomes the block's fresh first member
+    val st3 = ttlState(None, nowMs = 71000L, timedOut = false)
+    assert(StreamingDedup.scoreBlock(128, ttl)(1L, Iterator(b), st3).isEmpty)
+    assert(st3.getOption.exists(_.ids.sameElements(Array(11L))))
+    // 4. a dropped (hot-block) marker keeps refreshing its TTL so it also
+    //    ages out rather than blocking the key forever
+    val dropped = StreamingDedup.BlockState(Array.empty, Array.empty, dropped = true)
+    val st4 = ttlState(Some(dropped), nowMs = 80000L, timedOut = false)
+    assert(StreamingDedup.scoreBlock(128, ttl)(1L, Iterator(b), st4).isEmpty)
+    assert(st4.getTimeoutTimestampMs.get() == 80000L + 60000L)
+  }
+
+  test("stateTtl wired end-to-end: in-window duplicates yield identical edges to NoTimeout") {
+    import spark.implicits._
+    import scala.concurrent.duration._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = extractedDocs.take(60)
+    def edgesOf(name: String): Set[(Long, Long)] =
+      spark.table(name).select("src", "dst").distinct()
+        .as[(Long, Long)].collect().toSet
+    // reference: the NoTimeout path (processAllAvailable is fine there)
+    val refStream = MemoryStream[ExtractedDoc]
+    val refQuery = StreamingDedup.duplicateEdges(
+      spark, StreamingDedup.blockedDocs(spark, refStream.toDS()))
+      .writeStream.format("memory").queryName("graft_sdedup_nottl")
+      .outputMode("append").start()
+    try {
+      refStream.addData(docs.toIndexedSeq); refQuery.processAllAvailable()
+    } finally refQuery.stop()
+    val noTtl = edgesOf("graft_sdedup_nottl")
+    assert(noTtl.nonEmpty)
+    // TTL-armed run. ProcessingTimeTimeout makes the engine schedule
+    // batches continuously (shouldRunAnotherBatch is unconditionally true
+    // for that conf), which starves processAllAvailable — so poll the
+    // memory sink for the expected edges instead of draining the query.
+    val stream = MemoryStream[ExtractedDoc]
+    val query = StreamingDedup.duplicateEdges(
+      spark, StreamingDedup.blockedDocs(spark, stream.toDS()),
+      stateTtl = Some(1.hour)) // nothing ages out in-test
+      .writeStream.format("memory").queryName("graft_sdedup_ttl")
+      .outputMode("append").start()
+    try {
+      stream.addData(docs.toIndexedSeq)
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      var got = edgesOf("graft_sdedup_ttl")
+      while (got != noTtl && System.nanoTime() < deadline) {
+        Thread.sleep(250); got = edgesOf("graft_sdedup_ttl")
+      }
+      assert(got == noTtl,
+        s"TTL-armed run diverged from NoTimeout on in-window duplicates " +
+          s"(${got.size} vs ${noTtl.size} edges)")
+    } finally query.stop()
+  }
 }
