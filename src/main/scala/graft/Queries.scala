@@ -941,14 +941,17 @@ object Queries {
   // ---------------------------------------------------------------- q41
   private val IvfCentroids = 16
   private val IvfNProbe = 4
+  private val IvfTrainIters = graft.operators.SimilaritySearch.DefaultTrainIterations
 
   /** IVF-flat ANN (the inverted-file scale path next to sign-LSH q34):
-    * broadcast centroid codebook (deterministic: lowest-id vectors; the
-    * production k-means codebook ships the same way) → map-side inverted-
-    * list assignment (no shuffle) → nprobe probe join → exact rounded-
-    * cosine rerank, top-3 per query (queries = vec_id < 20). Assignment
-    * and ranking use 4dp-rounded cosines with id tiebreaks, so the oracle
-    * recomputes every list, probe, and rank. */
+    * centroid codebook TRAINED IN-ENGINE (deterministic Lloyd's —
+    * quantized vectors, integer-sum centroids, 4dp-rounded assignment,
+    * fixed 2 iterations; `SimilaritySearch.trainCodebook`) and broadcast →
+    * map-side inverted-list assignment (no shuffle) → nprobe probe join →
+    * exact rounded-cosine rerank, top-3 per query (queries = vec_id < 20).
+    * Every decision — seed set, both Lloyd rounds, lists, probes, ranks —
+    * is integer/rounded arithmetic, so the oracle recomputes the ENTIRE
+    * training + search as unrolled SQL CTEs. */
   private val q41: Q = (s, d) => {
     import s.implicits._
     import graft.operators.SimilaritySearch
@@ -956,7 +959,8 @@ object Queries {
     val emb = t(s, d, "embeddings")
       .selectExpr("vec_id AS id", "embedding AS vec").as[EmbeddingRow]
     val queries = emb.filter((r: EmbeddingRow) => r.id < 20)
-    SimilaritySearch.ivfFlatTopK(s, queries, emb, k = 3, IvfCentroids, IvfNProbe)
+    SimilaritySearch.ivfFlatTopK(s, queries, emb, k = 3, IvfCentroids, IvfNProbe,
+      IvfTrainIters)
       .orderBy("qid", "rnk")
   }
 
@@ -968,25 +972,57 @@ object Queries {
        |      / sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
        |           * list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
 
-  private lazy val q41Sql =
-    s"""WITH cent AS (
-       |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
-       |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $IvfCentroids)),
-       |asg AS (
-       |  SELECT vec_id, cent_id FROM (
-       |    SELECT e.vec_id, c.cent_id,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY round(${cosSql("e.embedding", "c.cvec")}, 4) DESC, c.cent_id) AS rn
-       |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
-       |probe AS (
-       |  SELECT qid, cent_id FROM (
-       |    SELECT q.vec_id AS qid, c.cent_id,
+  /** One unrolled Lloyd iteration as SQL CTEs: assignment of every
+    * quantized vector to its nearest centroid of `centIn` (4dp-rounded
+    * cosine, index tiebreak), then the integer-sum update with empty
+    * clusters carrying the previous centroid forward — bit-for-bit the
+    * `SimilaritySearch.trainCodebook` round. */
+  private def lloydIterSql(i: Int, centIn: String, centOut: String): String =
+    s"""asg$i AS (
+       |  SELECT vec_id, cidx FROM (
+       |    SELECT q.vec_id, c.cidx,
        |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY round(${cosSql("q.embedding", "c.cvec")}, 4) DESC, c.cent_id) AS rn
-       |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 20) WHERE rn <= $IvfNProbe),
+       |        ORDER BY round(${cosSql("q.qv", "c.cent")}, 4) DESC, c.cidx) AS rn
+       |    FROM qe q CROSS JOIN $centIn c) WHERE rn = 1),
+       |sum$i AS (
+       |  SELECT a.cidx, e.pos, SUM(e.v) AS sv
+       |  FROM asg$i a JOIN expl e USING (vec_id) GROUP BY a.cidx, e.pos),
+       |upd$i AS (SELECT cidx, list(sv ORDER BY pos) AS cent FROM sum$i GROUP BY cidx),
+       |$centOut AS (
+       |  SELECT c.cidx, coalesce(u.cent, c.cent) AS cent
+       |  FROM $centIn c LEFT JOIN upd$i u USING (cidx))""".stripMargin
+
+  private lazy val q41Sql = {
+    val iters = (0 until IvfTrainIters)
+      .map(i => lloydIterSql(i, s"cent$i", s"cent${i + 1}"))
+    val fin = s"cent$IvfTrainIters"
+    s"""WITH qe AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |expl AS (
+       |  SELECT vec_id, unnest(qv) AS v,
+       |    unnest(generate_series(1, len(qv))) AS pos FROM qe),
+       |cent0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cidx,
+       |    qv AS cent
+       |  FROM qe ORDER BY vec_id LIMIT $IvfCentroids),
+       |${iters.mkString(",\n")},
+       |lists AS (
+       |  SELECT vec_id, cidx FROM (
+       |    SELECT q.vec_id, c.cidx,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${cosSql("q.qv", "c.cent")}, 4) DESC, c.cidx) AS rn
+       |    FROM qe q CROSS JOIN $fin c) WHERE rn = 1),
+       |probe AS (
+       |  SELECT qid, cidx FROM (
+       |    SELECT q.vec_id AS qid, c.cidx,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${cosSql("q.qv", "c.cent")}, 4) DESC, c.cidx) AS rn
+       |    FROM qe q CROSS JOIN $fin c WHERE q.vec_id < 20) WHERE rn <= $IvfNProbe),
        |cand AS (
-       |  SELECT DISTINCT p.qid, a.vec_id AS cid
-       |  FROM probe p JOIN asg a USING (cent_id) WHERE a.vec_id <> p.qid),
+       |  SELECT DISTINCT p.qid, l.vec_id AS cid
+       |  FROM probe p JOIN lists l USING (cidx) WHERE l.vec_id <> p.qid),
        |scored AS (
        |  SELECT c.qid, c.cid, round(${cosSql("a.embedding", "b.embedding")}, 4) AS cos_sim
        |  FROM cand c
@@ -997,6 +1033,7 @@ object Queries {
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT) AS rnk
        |  FROM scored)
        |SELECT qid, cid, cos_sim, rnk FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q42
   /** Grouping sets via ROLLUP over (event_type, day): per-(type,day)

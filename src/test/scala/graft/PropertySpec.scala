@@ -148,5 +148,31 @@ class PropertySpec extends AnyFunSuite {
     for (r <- Seq(0x0391 to 0x03c9, 0x0410 to 0x044f, 0x0621 to 0x063a, 0x0641 to 0x064a, 0x05d0 to 0x05ea);
          cp <- r if Character.isLetter(cp))
       assert(foldResidue(cp.toChar.toString) == 0, s"U+${cp.toHexString}")
+    // BOTH kana blocks fold letterwise to ASCII, including the voiced
+    // rows that NFD decomposes into base + combining voicing mark
+    for (r <- Seq(0x3041 to 0x3096, 0x30a1 to 0x30f6); cp <- r) {
+      val folded = asciiFold(cp.toChar.toString)
+      assert(folded.nonEmpty && folded.forall(_ < 128), s"kana U+${cp.toHexString}")
+    }
+  }
+
+  test("CJK fold coverage is bounded and its residue counter is exact") {
+    import graft.functions.TextFunctions.{asciiFold, foldResidue}
+    // the frequent-ideograph table folds to "Pinyin " (ASCII letters + one
+    // trailing space), zero residue
+    val covered = "的一是不了人中国國大来來上京东東北南海山水王市"
+    covered.foreach { c =>
+      val f = asciiFold(c.toString)
+      assert(f.length >= 2 && f.last == ' ' && f.forall(_ < 128), s"U+${c.toInt.toHexString}")
+      assert(foldResidue(c.toString) == 0)
+    }
+    // OUTSIDE the bounded table the passthrough must stay VISIBLE: the
+    // residue counter equals exactly the number of uncovered ideographs —
+    // a regression here (counter diluted or table silently shrunk) fails
+    val rare = "麤鱻龘齉" // low-frequency ideographs, deliberately uncovered
+    assert(foldResidue(rare) == rare.length)
+    assert(foldResidue(covered + rare) == rare.length)
+    // mixed CJK/Latin text: only the uncovered ideographs count
+    assert(foldResidue(s"Tokyo 東京 $rare tower") == rare.length)
   }
 }

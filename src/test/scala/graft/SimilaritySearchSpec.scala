@@ -114,12 +114,15 @@ class SimilaritySearchSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(!rows.exists(r => r.getLong(1) == r.getLong(0)))
     }
     // every returned candidate really sits in one of its query's probed
-    // lists — the defining IVF invariant (no candidate outside the probes)
-    val codebook = embeddings.collect().sortBy(_.id).take(16).map(r => (r.id, r.vec))
+    // lists — the defining IVF invariant (no candidate outside the probes);
+    // probes recomputed against the same TRAINED codebook the operator uses
+    val codebook = SimilaritySearch.trainCodebook(spark, embeddings)
     val vecs = embeddings.collect().map(r => r.id -> r.vec).toMap
     ivf.foreach { r =>
-      val probed = SimilaritySearch.nearestCentroids(vecs(r.getLong(0)), codebook, 4).toSet
-      val assigned = SimilaritySearch.nearestCentroids(vecs(r.getLong(1)), codebook, 1)(0)
+      val probed = SimilaritySearch.nearestCentroidsQ(
+        SimilaritySearch.quantized(vecs(r.getLong(0))), codebook, 4).toSet
+      val assigned = SimilaritySearch.nearestCentroidsQ(
+        SimilaritySearch.quantized(vecs(r.getLong(1))), codebook, 1)(0)
       assert(probed.contains(assigned),
         s"qid ${r.getLong(0)}: cid ${r.getLong(1)} from unprobed list $assigned")
     }
@@ -130,5 +133,52 @@ class SimilaritySearchSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val ivf1 = ivf.filter(_.getLong(3) == 1L).map(r => (r.getLong(0), r.getLong(1))).toMap
     val hits = exact1.count { case (q, c) => ivf1.get(q).contains(c) }
     assert(hits >= (exact1.size * 0.5).toInt, s"recall@1 $hits/${exact1.size}")
+  }
+
+  test("Lloyd codebook training is deterministic, sum-exact, and does not hurt recall") {
+    import spark.implicits._
+    // deterministic: two independent trainings are element-identical
+    val cb1 = SimilaritySearch.trainCodebook(spark, embeddings)
+    val cb2 = SimilaritySearch.trainCodebook(spark, embeddings)
+    assert(cb1.length == SimilaritySearch.DefaultNumCentroids)
+    assert(cb1.zip(cb2).forall { case ((i, a), (j, b)) => i == j && a.sameElements(b) })
+    // sum-exact: re-derive the final round's centroids by hand — assign
+    // every quantized vector to its nearest PREVIOUS-round centroid and
+    // integer-sum the members; must reproduce trainCodebook bit-for-bit
+    val prev = SimilaritySearch.trainCodebook(
+      spark, embeddings, iterations = SimilaritySearch.DefaultTrainIterations - 1)
+    val qvecs = embeddings.collect().sortBy(_.id)
+      .map(r => r.id -> SimilaritySearch.quantized(r.vec))
+    val members = qvecs.groupBy { case (_, qv) =>
+      SimilaritySearch.nearestCentroidsQ(qv, prev, 1)(0)
+    }
+    val expect = prev.map { case (cidx, prevCent) =>
+      members.get(cidx) match {
+        case None => (cidx, prevCent) // empty cluster carries forward
+        case Some(ms) =>
+          val dims = prevCent.length
+          val s = new Array[Long](dims)
+          ms.foreach { case (_, qv) =>
+            var d = 0; while (d < dims) { s(d) += qv(d); d += 1 }
+          }
+          (cidx, s)
+      }
+    }
+    assert(cb1.zip(expect).forall { case ((i, a), (j, b)) => i == j && a.sameElements(b) })
+    // recall@3 overlap with exact brute force: training must not fall
+    // below the untrained (iterations=0, quantized-seed) codebook
+    val queries = embeddings.filter((r: EmbeddingRow) => r.id < 20)
+    def recall3(iters: Int): Int = {
+      val approx = SimilaritySearch
+        .ivfFlatTopK(spark, queries, embeddings, 3, trainIterations = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = SimilaritySearch.bruteForceTopK(spark, queries, embeddings, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (approx intersect exact).size
+    }
+    val trained = recall3(SimilaritySearch.DefaultTrainIterations)
+    val untrained = recall3(0)
+    assert(trained >= untrained,
+      s"training hurt recall@3: trained $trained < seed-codebook $untrained")
   }
 }

@@ -71,8 +71,23 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(cleanEntity("Хрущёв") == "khrushchev")
     assert(cleanEntity("объект") == "obekt") // hard sign dropped
     assert(asciiFold("Шостакович") == "Shostakovich") // capitals keep case
-    // scripts beyond the tables pass through (documented approximation)
-    assert(asciiFold("東京") == "東京")
+    // frequent ideographs transliterate unidecode-style (pinyin + space);
+    // ideographs beyond the bounded table still pass through
+    assert(asciiFold("東京") == "Dong Jing ")
+    assert(asciiFold("中国") == "Zhong Guo ")
+    assert(asciiFold("麤") == "麤")
+  }
+
+  test("asciiFold covers kana letterwise, incl. NFD-decomposed voicing") {
+    import graft.functions.TextFunctions.{asciiFold, cleanEntity, foldResidue}
+    assert(asciiFold("ひらがな") == "hiragana")
+    assert(asciiFold("カタカナ") == "katakana")
+    // voiced kana survive the NFD mark strip (が = か + U+3099)
+    assert(asciiFold("がぎぐげご") == "gagigugego")
+    assert(asciiFold("パピプペポ") == "papipupepo")
+    assert(asciiFold("ラーメン") == "ra-men")
+    assert(cleanEntity("トウキョウ") == "toukiyou") // letterwise, no digraphs
+    assert(foldResidue("すしダンゴ") == 0)
   }
 
   test("foldResidue makes non-covered-script passthrough observable") {
@@ -81,8 +96,11 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(foldResidue("Wêreldé-ü ö í à Ørsted Łódź") == 0)
     assert(foldResidue("Ψάρι Шостакович") == 0)
     assert(foldResidue(null) == 0)
-    // CJK ideographs pass through and are COUNTED, not silent
-    assert(foldResidue("東京 tower") == 2)
+    // frequent ideographs now fold (bounded CjkPinyin table)...
+    assert(foldResidue("東京 tower") == 0)
+    // ...but rare ideographs outside it pass through and are COUNTED,
+    // not silent — the bounded-coverage contract stays observable
+    assert(foldResidue("麤鱻 tower") == 2)
   }
 
   test("asciiFold covers Arabic, Hebrew, Hangul, Devanagari, eastern digits") {
