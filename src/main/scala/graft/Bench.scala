@@ -41,13 +41,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** @param aqe default on (the library default everywhere). With
-    *   SPARK_GRAFT_ER_FAST=1 the ER passes instead run the specialized
-    *   fast-flags variant: AQE off + runOnTable(staticPlan=true)
-    *   (broadcast-hinted histogram, SER caches, no defensive dedup) —
-    *   measured faster at BOTH core counts but with a lower 1-vs-4 ratio;
-    *   see BENCH.md "fast-flags variant" for the numbers and why the
-    *   default artifact measures the library-default path. */
+  /** @param aqe default on (the library default everywhere; the catalog
+    *   section always measures it). The ER section, by contrast, measures
+    *   the STATIC-PLAN CONFIGURATION by default — AQE off +
+    *   `runOnTable(staticPlan = true)`'s declared broadcast — which is an
+    *   opt-in API surface, not the library default; the artifact labels
+    *   this in its `er_config` field. `SPARK_GRAFT_ER_AQE=1` measures the
+    *   AQE-on library default instead (r03 measured it ~0.01 lower on the
+    *   1-vs-4 ratio, BENCH.md "AQE off for the ER sessions").
+    *   `SPARK_GRAFT_ER_FAST=1` additionally measures the lean-memory
+    *   fast-flags variant (faster absolute, lower ratio — BENCH.md
+    *   "fast-flags variant"). */
   private def session(cores: Int, shufflePartitions: Int, aqe: Boolean = true): SparkSession = {
     val s = SparkSession.builder()
       .withExtensions(new graft.functions.expressions.GraftExtensions)
@@ -64,14 +68,16 @@ object Bench {
     s
   }
 
-  // ER-section variants (BENCH.md): the ER pipeline's plan is static by
-  // construction (pre-salted uniform pairs, fixed partitioning, the one
-  // AQE decision — broadcast the block histogram — declared explicitly),
-  // so its sessions run AQE OFF by default as workload configuration,
-  // exactly like the fixed shuffle-partition count; AQE stays the library
-  // and catalog default. SPARK_GRAFT_ER_AQE=1 re-enables it for the ER
-  // section; SPARK_GRAFT_ER_FAST=1 additionally turns on the lean-memory
-  // fast flags (measured faster absolute, lower 1-vs-4 ratio).
+  // ER-section variants (BENCH.md): the measured ER configuration is the
+  // STATIC PLAN — AQE off + the broadcast the pipeline declares via
+  // runOnTable(staticPlan = true) — chosen because the pipeline's plan is
+  // static by construction (pre-salted uniform pairs, fixed partitioning,
+  // one known-broadcastable join). This is an opt-in API configuration,
+  // NOT the library default (AQE on, no hint): the artifact says so in
+  // er_config rather than claiming otherwise (ADVICE r03). SPARK_GRAFT_
+  // ER_AQE=1 measures the AQE-on library default; SPARK_GRAFT_ER_FAST=1
+  // additionally turns on the lean-memory fast flags (faster absolute,
+  // lower 1-vs-4 ratio).
   private def erFast = sys.env.get("SPARK_GRAFT_ER_FAST").contains("1")
   private def erAqeOff = !sys.env.get("SPARK_GRAFT_ER_AQE").contains("1")
 
@@ -91,6 +97,25 @@ object Bench {
         if (t.taskMetrics != null) sum.add(t.taskMetrics.executorRunTime)
     })
     def seconds: Double = sum.sum() / 1e3
+
+    /** Deterministic listener-bus drain (ADVICE r03: a fixed 300 ms sleep
+      * raced queued async task-end events under load): poll until the sum
+      * is unchanged across two consecutive 100 ms windows, bounded at
+      * 3 s. The final value feeds the per_thread_inflation /
+      * efficiency_engine decomposition, so undercounting here skews a
+      * published headline metric. */
+    def drainedSeconds(): Double = {
+      val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
+      var prev = sum.sum()
+      var stable = false
+      while (!stable && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val cur = sum.sum()
+        stable = cur == prev
+        prev = cur
+      }
+      prev / 1e3
+    }
   }
 
   /** Cores currently consumed by OTHER processes, measured from /proc/stat
@@ -215,72 +240,74 @@ object Bench {
     // steady state); min-of-8 reaches the warm floor of BOTH levels
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "8").toInt
 
-    // materialize the corpus once (north rule: the pipeline READS a table)
-    val corpusDir = java.nio.file.Files
-      .createTempDirectory("graft_bench_corpus").toString + "/webpages"
-    val setup = session(16, 48, aqe = !erAqeOff)
-    graft.sources.WebPagesGen.webpages(setup, erClusters)
-      .repartition(48).write.mode("overwrite").parquet(corpusDir)
-    // JIT warmup: a first ER pass pays ~5x in C2 compilation + codegen
-    // (measured 133s -> 48s -> 23s); compiled code is JVM-wide, so an
-    // unmeasured warmup pass de-biases both measured levels equally
-    erPass(setup, corpusDir)
-    setup.stop()
-    System.gc()
+    /** One full interleaved-fresh-session scaling measurement at a given
+      * corpus size: materialize corpus → one unmeasured warmup pass →
+      * `nRounds` interleaved (H,L) fresh-session passes behind the
+      * quiet-window gate → min-of-k + engine-vs-silicon decomposition.
+      * Returns the scaling JSON object. */
+    def runErScaling(clusters: Long, nRounds: Int): String = {
+      // materialize the corpus once (north rule: the pipeline READS a table)
+      val corpusDir = graft.util.Scratch.unique("bench_corpus") + "/webpages"
+      val setup = session(16, 48, aqe = !erAqeOff)
+      graft.sources.WebPagesGen.webpages(setup, clusters)
+        .repartition(48).write.mode("overwrite").parquet(corpusDir)
+      // JIT warmup: a first ER pass pays ~5x in C2 compilation + codegen
+      // (measured 133s -> 48s -> 23s); compiled code is JVM-wide, so an
+      // unmeasured warmup pass de-biases both measured levels equally
+      erPass(setup, corpusDir)
+      setup.stop()
+      System.gc()
 
-    // one pass = one FRESH session (stopped after): cached blocks cannot
-    // survive a pass; JIT-compiled code is JVM-wide and does survive, so
-    // every pass after the warmup runs warm code on a cold block manager
-    def onePass(cores: Int): (Long, Double, Double) = {
-      val spark = session(cores, partitions, aqe = !erAqeOff)
-      val clock = new TaskClock(spark.sparkContext)
-      try {
-        val (docs, sec) = erPass(spark, corpusDir)
-        Thread.sleep(300) // listener-bus drain (async task-end events)
-        (docs, sec, clock.seconds)
-      } finally { spark.stop(); System.gc() }
-    }
-    // interleave H,L,H,L,…: a contended window degrades both levels
-    // symmetrically instead of poisoning one level wholesale (the r02
-    // driver artifact's failure mode); before each pass, wait (bounded)
-    // for co-tenants to quiet down — the defense against a sustained
-    // plateau that min-of-k cannot dodge
-    val interleaved = (1 to rounds).map { _ =>
-      val busyH = awaitQuiet(maxBusy, waitBudget)
-      val h = onePass(coresHigh)
-      val busyL = awaitQuiet(maxBusy, waitBudget)
-      val l = onePass(coresLow)
-      (h, l, busyH, busyL)
-    }
-    val highRuns = interleaved.map(_._1)
-    val lowRuns = interleaved.map(_._2)
-    val busyHigh = interleaved.map(_._3)
-    val busyLow = interleaved.map(_._4)
-    val (docsHigh, secHigh, _) = highRuns.minBy(_._2)
-    val (docsLow, secLow, _) = lowRuns.minBy(_._2)
-    val (rawHigh, rawLow) = (highRuns.map(_._2), lowRuns.map(_._2))
-    val (taskHigh, taskLow) = (highRuns.map(_._3), lowRuns.map(_._3))
-    val tputLow = docsLow / secLow
-    val tputHigh = docsHigh / secHigh
-    val ratio = coresHigh.toDouble / coresLow
-    val efficiency = (tputHigh / tputLow) / ratio
-    // Engine-vs-silicon decomposition: the same computation's total
-    // executor task time at each level. Per-thread inflation =
-    // taskSum_high / taskSum_low (identical work; >1 on a shared-socket
-    // host because concurrent threads stall on one memory system — a real
-    // cluster's executors each own theirs). efficiency_engine re-expresses
-    // the ratio in CPU-work units: what the scheduler/serial structure
-    // loses once the silicon's per-thread slowdown is factored out.
-    val inflMin = taskHigh.min / taskLow.min
-    val effEngine = math.min(1.0, efficiency * inflMin)
-
-    // catalog runs last (see runCatalog comment)
-    val results = runCatalog()
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
-    val er =
-      f"""{"clusters":$erClusters,"docs":$docsHigh,"scaling":{"protocol":"interleaved-fresh-session","cores_low":$coresLow,"cores_high":$coresHigh,""" +
+      // one pass = one FRESH session (stopped after): cached blocks cannot
+      // survive a pass; JIT-compiled code is JVM-wide and does survive, so
+      // every pass after the warmup runs warm code on a cold block manager
+      def onePass(cores: Int): (Long, Double, Double) = {
+        val spark = session(cores, partitions, aqe = !erAqeOff)
+        val clock = new TaskClock(spark.sparkContext)
+        try {
+          val (docs, sec) = erPass(spark, corpusDir)
+          (docs, sec, clock.drainedSeconds())
+        } finally { spark.stop(); System.gc() }
+      }
+      // interleave H,L,H,L,…: a contended window degrades both levels
+      // symmetrically instead of poisoning one level wholesale (the r02
+      // driver artifact's failure mode); before each pass, wait (bounded)
+      // for co-tenants to quiet down — the defense against a sustained
+      // plateau that min-of-k cannot dodge
+      val interleaved = (1 to nRounds).map { _ =>
+        val busyH = awaitQuiet(maxBusy, waitBudget)
+        val h = onePass(coresHigh)
+        val busyL = awaitQuiet(maxBusy, waitBudget)
+        val l = onePass(coresLow)
+        (h, l, busyH, busyL)
+      }
+      val highRuns = interleaved.map(_._1)
+      val lowRuns = interleaved.map(_._2)
+      val busyHigh = interleaved.map(_._3)
+      val busyLow = interleaved.map(_._4)
+      val (docsHigh, secHigh, _) = highRuns.minBy(_._2)
+      val (docsLow, secLow, _) = lowRuns.minBy(_._2)
+      val (rawHigh, rawLow) = (highRuns.map(_._2), lowRuns.map(_._2))
+      val (taskHigh, taskLow) = (highRuns.map(_._3), lowRuns.map(_._3))
+      val tputLow = docsLow / secLow
+      val tputHigh = docsHigh / secHigh
+      val ratio = coresHigh.toDouble / coresLow
+      val efficiency = (tputHigh / tputLow) / ratio
+      // Engine-vs-silicon decomposition: the same computation's total
+      // executor task time at each level. Per-thread inflation =
+      // taskSum_high / taskSum_low (identical work; >1 on a shared-socket
+      // host because concurrent threads stall on one memory system — a real
+      // cluster's executors each own theirs). efficiency_engine re-expresses
+      // the ratio in CPU-work units: what the scheduler/serial structure
+      // loses once the silicon's per-thread slowdown is factored out
+      // (clamped at 1.0 — the clamp is stated wherever the formula is
+      // published, BENCH.md).
+      val inflMin = taskHigh.min / taskLow.min
+      val effEngine = math.min(1.0, efficiency * inflMin)
+      def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+      f"""{"clusters":$clusters,"docs":$docsHigh,""" +
+        f""""er_config":{"aqe":${!erAqeOff},"static_plan":$erAqeOff,"lean":$erFast,"note":"static-plan configuration (opt-in API), not the AQE-on library default; SPARK_GRAFT_ER_AQE=1 measures the default"},""" +
+        f""""scaling":{"protocol":"interleaved-fresh-session","cores_low":$coresLow,"cores_high":$coresHigh,""" +
         f""""partitions":$partitions,"sec_low":$secLow%.2f,"sec_high":$secHigh%.2f,""" +
         f""""passes_low":${arr(rawLow)},"passes_high":${arr(rawHigh)},""" +
         f""""external_busy_cores_low":${arr(busyLow)},"external_busy_cores_high":${arr(busyHigh)},""" +
@@ -288,7 +315,35 @@ object Bench {
         f""""docs_per_sec_low":$tputLow%.1f,"docs_per_sec_high":$tputHigh%.1f,""" +
         f""""efficiency":$efficiency%.3f,""" +
         f""""per_thread_inflation":$inflMin%.3f,"efficiency_engine":$effEngine%.3f}}"""
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","er":$er}""")
+    }
+
+    val er = runErScaling(erClusters, rounds)
+    // second corpus scale (VERDICT r03 #3): show the ≥0.8 ratio is not
+    // tuned to one corpus size — same protocol at 2× the default corpus,
+    // fewer rounds (the passes are ~2× longer; min-of-4 still dodges
+    // bursts and the quiet-window gate handles plateaus). Skip with
+    // SPARK_GRAFT_SKIP_ER4X=1 for quick iteration.
+    val skipEr4x = sys.env.get("SPARK_GRAFT_SKIP_ER4X").contains("1")
+    val erClusters4x = sys.env.getOrElse("SPARK_GRAFT_ER_CLUSTERS_4X",
+      (2 * erClusters).toString).toLong
+    val rounds4x = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS_4X", "4").toInt
+    val er4x = if (skipEr4x) "null" else runErScaling(erClusters4x, rounds4x)
+
+    // catalog runs last (see runCatalog comment)
+    val results = runCatalog()
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","er":$er,"er_4x":$er4x}"""
+    // ALSO write the line to a file (VERDICT r03 #7): the driver's
+    // artifact capture scrapes sbt stdout and has twice recorded the line
+    // embedded in log tails with "parsed": null — a file read never does.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    println(line)
   }
 }

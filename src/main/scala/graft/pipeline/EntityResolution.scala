@@ -139,8 +139,10 @@ object EntityResolution {
     * @param lean specialized memory flags: Kryo-serialized caches, no
     *   histogram persist, no defensive edge dedup. Measured faster at
     *   every core count than the defaults (BENCH.md "fast-flags
-    *   variant"); default false — the scaling artifact measures the
-    *   library-default path. */
+    *   variant"); default false. NOTE the shipped scaling artifact
+    *   measures `staticPlan = true` with AQE off — the static-plan
+    *   configuration, labeled as such in its `er_config` field — not
+    *   these API defaults. */
   def runOnTable(
       spark: SparkSession, path: String, staticPlan: Boolean = false,
       lean: Boolean = false): (Long, Double) = {
@@ -156,8 +158,8 @@ object EntityResolution {
     val t0 = System.nanoTime()
     // Library-default configuration unless the caller opts into the
     // specialized flags (see runOnTable scaladoc + BENCH.md "fast-flags
-    // variant"): the north rule's measured unit of work runs the defaults
-    // a user gets, not hand-specialized fast paths.
+    // variant"). The shipped scaling artifact opts into staticPlan
+    // (AQE off + declared broadcast) and says so in er_config.
     val level =
       if (lean) StorageLevel.MEMORY_AND_DISK_SER else StorageLevel.MEMORY_AND_DISK
     val extracted = extract(spark, pages).persist(level)

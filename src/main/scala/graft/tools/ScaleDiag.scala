@@ -74,8 +74,7 @@ object ScaleDiag {
       }
     })
 
-    val corpusDir = java.nio.file.Files
-      .createTempDirectory("graft_diag_corpus").toString + "/webpages"
+    val corpusDir = graft.util.Scratch.unique("diag_corpus") + "/webpages"
     graft.sources.WebPagesGen.webpages(spark, nClusters)
       .repartition(48).write.mode("overwrite").parquet(corpusDir)
     (1 to passes).foreach { i =>

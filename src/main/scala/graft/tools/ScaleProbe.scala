@@ -23,8 +23,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     // measured unit = the north rule's (read table -> cluster); corpus is
     // materialized once, outside the timed region (matches graft.Bench)
-    val corpusDir = java.nio.file.Files
-      .createTempDirectory("graft_probe_corpus").toString + "/webpages"
+    val corpusDir = graft.util.Scratch.unique("probe_corpus") + "/webpages"
     graft.sources.WebPagesGen.webpages(spark, nClusters)
       .repartition(48).write.mode("overwrite").parquet(corpusDir)
     (1 to passes).foreach { i =>
