@@ -93,6 +93,30 @@ class DocsClaimsSpec extends AnyFunSuite {
         s"(${valid.toSeq.sorted.map { case (g, t) => s"$g/$t" }.mkString(", ")}): <<$line>>")
   }
 
+  test("rule 4: efficiency claims attributed to a BENCH artifact match that artifact") {
+    val benchCite = raw"(BENCH_r[0-9A-Za-z._-]*?\.json)".r
+    // the claimed number is the nearest d.ddd within 40 chars BEFORE the
+    // citation — the "**0.814** (`BENCH_r3-gated.json`)" shape; lines
+    // where no number precedes the citation carry no per-artifact claim
+    for {
+      doc <- docNames
+      (ln, line) <- lines(doc)
+      m <- benchCite.findAllMatchIn(line)
+      artifact = m.group(1)
+      window = line.substring(math.max(0, m.start - 40), m.start)
+      claim <- raw"\d\.\d{2,3}".r.findAllIn(window).toSeq.lastOption
+      path = repo.resolve(artifact)
+      if Files.exists(path)
+      text = new String(Files.readAllBytes(path), "UTF-8")
+      values = raw""""efficiency[_a-z]*":\s*([0-9.]+)""".r
+        .findAllMatchIn(text).map(_.group(1)).toSet
+      if values.nonEmpty
+    } assert(
+      values.exists(v => v == claim || v.startsWith(claim) || claim.startsWith(v)),
+      s"$doc:$ln attributes efficiency $claim to $artifact, which records " +
+        s"${values.mkString(", ")}: <<$line>>")
+  }
+
   test("rule 3: the newest artifact's ratio appears verbatim in every doc") {
     val (round, (green, total)) = artifacts.maxBy(_._1)
     val want = s"$green/$total"
