@@ -1202,6 +1202,113 @@ object Queries {
       |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q44
+  /** URL canonicalization + per-host aggregation — the web-pipeline
+    * operator that makes crawl URLs joinable/dedupable (absent from the
+    * reference, core to any Common-Crawl-shaped corpus): lowercase
+    * scheme+host, strip the default :443/:80 port, drop `utm_*` tracking
+    * params (then a dangling `?`), drop the fragment, strip a leading
+    * `www.`. URLs are synthesized deterministically per doc (the q31/q32
+    * pattern — the testdata text column carries none), messy on purpose:
+    * uppercase scheme/host, default port, utm params, fragment. The whole
+    * chain is engine-portable regexp_replace/lower, so DuckDB mirrors it
+    * literally; map-only + one host-count shuffle at scale. */
+  private val q44: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        concat(
+          lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/p/"),
+          (col("doc_id") % 7).cast("string"),
+          lit("?utm_source=feed&utm_campaign=x&id="), col("doc_id").cast("string"),
+          lit("#frag")).as("url"))
+      .withColumn("canon",
+        // order matters and is identical on both engines:
+        // fragment → utm params → dangling '?'/'&' → scheme+host lowercase
+        // (host = everything before the first '/') → default port → www.
+        regexp_replace(col("url"), "#.*$", ""))
+      .withColumn("canon", regexp_replace(col("canon"), "(utm_[a-z]+=[^&#]*&?)", ""))
+      .withColumn("canon", regexp_replace(col("canon"), "[?&]$", ""))
+      .withColumn("canon",
+        concat(
+          lower(regexp_extract(col("canon"), "^([^/?]*://[^/?]*)", 1)),
+          regexp_replace(col("canon"), "^[^/?]*://[^/?]*", "")))
+      .withColumn("canon", regexp_replace(col("canon"), ":443(/|$)", "$1"))
+      .withColumn("canon", regexp_replace(col("canon"), "^(https?://)www\\.", "$1"))
+      .withColumn("host", regexp_extract(col("canon"), "^https?://([^/?]*)", 1))
+      .groupBy("host")
+      .agg(
+        count(lit(1)).as("cnt"),
+        countDistinct(col("canon")).cast("long").as("distinct_urls"))
+      .orderBy("host")
+
+  private val q44Sql =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'HTTPS://WWW.' || source || '.Example.COM:443/p/' ||
+      |    CAST(doc_id % 7 AS VARCHAR) ||
+      |    '?utm_source=feed&utm_campaign=x&id=' || CAST(doc_id AS VARCHAR) ||
+      |    '#frag' AS url
+      |  FROM documents),
+      |c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS canon FROM u),
+      |c2 AS (SELECT doc_id, regexp_replace(canon, '(utm_[a-z]+=[^&#]*&?)', '', 'g') AS canon FROM c1),
+      |c3 AS (SELECT doc_id, regexp_replace(canon, '[?&]$', '') AS canon FROM c2),
+      |c4 AS (SELECT doc_id,
+      |    lower(regexp_extract(canon, '^([^/?]*://[^/?]*)', 1)) ||
+      |    regexp_replace(canon, '^[^/?]*://[^/?]*', '') AS canon FROM c3),
+      |c5 AS (SELECT doc_id, regexp_replace(canon, ':443(/|$)', '\1') AS canon FROM c4),
+      |c6 AS (SELECT doc_id, regexp_replace(canon, '^(https?://)www\.', '\1') AS canon FROM c5)
+      |SELECT regexp_extract(canon, '^https?://([^/?]*)', 1) AS host,
+      |  count(*) AS cnt,
+      |  CAST(count(DISTINCT canon) AS BIGINT) AS distinct_urls
+      |FROM c6 GROUP BY 1 ORDER BY host""".stripMargin
+
+  // ---------------------------------------------------------------- q45
+  /** PII-style redaction — scrub emails and phone-shaped tokens before a
+    * corpus is trainable (the standard web-text hygiene pass; absent from
+    * the reference). PII is planted deterministically per doc, then
+    * redacted with engine-portable character-class regexes; the output is
+    * the per-doc redaction counts plus an md5 of the redacted text so the
+    * oracle verifies the REDACTED CONTENT, not just the counts. Map-only
+    * at scale. */
+  private val q45: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        concat(
+          col("text"), lit(" contact "), col("source"),
+          col("doc_id").cast("string"), lit("@ex-mail.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" today")).as("raw"))
+      .withColumn("n_emails",
+        size(expr("regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}', 0)")).cast("long"))
+      .withColumn("n_phones",
+        size(expr("regexp_extract_all(raw, '\\\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', 0)")).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(col("raw"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "<PHONE>"))
+      .select(
+        col("doc_id"), col("n_emails"), col("n_phones"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy("doc_id")
+
+  private val q45Sql =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    text || ' contact ' || source || CAST(doc_id AS VARCHAR) ||
+      |    '@ex-mail.com or +1-555-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(raw, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |  md5(regexp_replace(
+      |        regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |        '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q01_group_agg" -> q01,
     "q02_filter_project" -> q02,
@@ -1245,7 +1352,9 @@ object Queries {
     "q40_embed_neardup" -> q40,
     "q41_ann_ivf" -> q41,
     "q42_rollup" -> q42,
-    "q43_setops" -> q43)
+    "q43_setops" -> q43,
+    "q44_url_canon" -> q44,
+    "q45_pii_redact" -> q45)
 
   val oracles: Map[String, String] = Map(
     "q01_group_agg" -> q01Sql,
@@ -1290,5 +1399,7 @@ object Queries {
     "q40_embed_neardup" -> q40Sql,
     "q41_ann_ivf" -> q41Sql,
     "q42_rollup" -> q42Sql,
-    "q43_setops" -> q43Sql)
+    "q43_setops" -> q43Sql,
+    "q44_url_canon" -> q44Sql,
+    "q45_pii_redact" -> q45Sql)
 }
