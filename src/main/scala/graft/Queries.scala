@@ -1309,6 +1309,49 @@ object Queries {
       |        '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  /** Repetition / vocabulary-diversity statistics — the Gopher/C4-style
+    * quality-filter signals (distinct-word fraction, most-frequent-word
+    * fraction) a corpus filter thresholds on before training (absent from
+    * the reference; complements q19's length/punct score). Shape: explode
+    * → per-(doc,word) counts → per-doc aggregate — two partial-agg
+    * shuffles keyed by doc, linear at any corpus size; fractions are
+    * 4dp-rounded double divisions of exact integer counts, identical in
+    * both engines (the q41 rounding discipline). */
+  private val q46: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("wc"))
+      .groupBy("doc_id")
+      .agg(
+        sum("wc").cast("long").as("word_count"),
+        count(lit(1)).as("distinct_words"),
+        max("wc").cast("long").as("top_word_count"))
+      .select(
+        col("doc_id"), col("word_count"), col("distinct_words"),
+        col("top_word_count"),
+        round(col("distinct_words").cast("double") / col("word_count"), 4)
+          .as("distinct_frac"),
+        round(col("top_word_count").cast("double") / col("word_count"), 4)
+          .as("top_word_frac"))
+      .orderBy("doc_id")
+
+  private val q46Sql =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |wc AS (
+      |  SELECT doc_id, word, count(*) AS wc FROM w WHERE word <> ''
+      |  GROUP BY doc_id, word),
+      |agg AS (
+      |  SELECT doc_id, CAST(sum(wc) AS BIGINT) AS word_count,
+      |    count(*) AS distinct_words, CAST(max(wc) AS BIGINT) AS top_word_count
+      |  FROM wc GROUP BY doc_id)
+      |SELECT doc_id, word_count, distinct_words, top_word_count,
+      |  round(CAST(distinct_words AS DOUBLE) / word_count, 4) AS distinct_frac,
+      |  round(CAST(top_word_count AS DOUBLE) / word_count, 4) AS top_word_frac
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q01_group_agg" -> q01,
     "q02_filter_project" -> q02,
@@ -1354,7 +1397,8 @@ object Queries {
     "q42_rollup" -> q42,
     "q43_setops" -> q43,
     "q44_url_canon" -> q44,
-    "q45_pii_redact" -> q45)
+    "q45_pii_redact" -> q45,
+    "q46_repetition_stats" -> q46)
 
   val oracles: Map[String, String] = Map(
     "q01_group_agg" -> q01Sql,
@@ -1401,5 +1445,6 @@ object Queries {
     "q42_rollup" -> q42Sql,
     "q43_setops" -> q43Sql,
     "q44_url_canon" -> q44Sql,
-    "q45_pii_redact" -> q45Sql)
+    "q45_pii_redact" -> q45Sql,
+    "q46_repetition_stats" -> q46Sql)
 }
