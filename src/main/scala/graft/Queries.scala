@@ -1352,6 +1352,67 @@ object Queries {
       |  round(CAST(top_word_count AS DOUBLE) / word_count, 4) AS top_word_frac
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** Corpus-level top-k n-gram counts — the vocabulary/n-gram census a
+    * training pipeline runs for tokenizer and contamination analysis:
+    * per-doc bigram generation with an array HOF (map-only, no explode of
+    * unigrams), one partial-agg count shuffle keyed by bigram, global
+    * top-20 with a bigram tiebreak. At 100 TB the same plan holds — the
+    * bigram key space, not the corpus, bounds the reduce side. */
+  private val q47: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))"))
+        .as("bigram"))
+      .where(!col("bigram").contains("  ") && !col("bigram").startsWith(" ") && !col("bigram").endsWith(" "))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(20)
+
+  private val q47Sql =
+    """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents WHERE len(string_split(text,' ')) >= 2),
+      |b AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(w)-1),
+      |                 i -> w[i] || ' ' || w[i+1])) AS bigram
+      |  FROM w)
+      |SELECT bigram, count(*) AS cnt FROM b
+      |WHERE bigram NOT LIKE '%  %' AND bigram NOT LIKE ' %' AND bigram NOT LIKE '% '
+      |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q48
+  /** Deterministic stratified train/val/test split — reproducible
+    * hash-threshold assignment (the reference's 0.8 train split,
+    * create_entity_prior.py:32, generalized to strata): bucket =
+    * md5-derived 32-bit hash of the doc id mod 100, <80 train / <90 val /
+    * else test, counted per (source, split). Pure map + one partial-agg
+    * shuffle; the md5 hash family is the engine-portable OracleHash
+    * discipline, so DuckDB recomputes every assignment. */
+  private val q48: Q = (s, d) =>
+    t(s, d, "documents")
+      .withColumn("bucket",
+        (expr("conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10)")
+          .cast("long") % 100).cast("long"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("source", "split")
+
+  private val q48Sql =
+    """WITH b AS (
+      |  SELECT source,
+      |    (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 100 AS bucket
+      |  FROM documents)
+      |SELECT source,
+      |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS cnt
+      |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q01_group_agg" -> q01,
     "q02_filter_project" -> q02,
@@ -1398,7 +1459,9 @@ object Queries {
     "q43_setops" -> q43,
     "q44_url_canon" -> q44,
     "q45_pii_redact" -> q45,
-    "q46_repetition_stats" -> q46)
+    "q46_repetition_stats" -> q46,
+    "q47_top_bigrams" -> q47,
+    "q48_stratified_split" -> q48)
 
   val oracles: Map[String, String] = Map(
     "q01_group_agg" -> q01Sql,
@@ -1446,5 +1509,7 @@ object Queries {
     "q43_setops" -> q43Sql,
     "q44_url_canon" -> q44Sql,
     "q45_pii_redact" -> q45Sql,
-    "q46_repetition_stats" -> q46Sql)
+    "q46_repetition_stats" -> q46Sql,
+    "q47_top_bigrams" -> q47Sql,
+    "q48_stratified_split" -> q48Sql)
 }
