@@ -55,4 +55,32 @@ class PlanGuardSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(plans("q04_star_join").contains("BroadcastHashJoin"),
       "q04's dimension joins are no longer broadcast")
   }
+
+  test("filters reach the parquet scan (pushdown) on the filter queries") {
+    // q02/q14 are the predicate-pushdown representatives: their scans must
+    // carry non-empty PushedFilters — a plan that filters post-scan reads
+    // the whole table at 100 TB
+    for (q <- Seq("q02_filter_project", "q14_range_scan")) {
+      val p = plans(q)
+      assert(raw"PushedFilters: \[[^\]]".r.findFirstIn(p).isDefined,
+        s"$q scan lost its pushed filters")
+    }
+  }
+
+  test("column pruning reaches the scan (q02 reads only its 4 columns)") {
+    // q02 projects 3 columns + filters on 2; the 16-column lineitem scan
+    // must be pruned to exactly the needed ReadSchema — reading
+    // l_comment & co for a 3-column projection is wrong at any scale
+    val p = plans("q02_filter_project")
+    val schema = raw"ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    val cols = schema.split(",").map(_.trim.takeWhile(_ != ':')).toSet
+    assert(cols == Set("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"),
+      s"q02 ReadSchema not pruned to the 4 needed columns: $cols")
+  }
+
+  test("q47 global top-k plans as TakeOrderedAndProject, not a global sort") {
+    assert(plans("q47_top_bigrams").contains("TakeOrderedAndProject"),
+      "q47's orderBy+limit no longer collapses to per-partition top-k merge")
+  }
 }
