@@ -1413,6 +1413,114 @@ object Queries {
       |  count(*) AS cnt
       |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** HyperLogLog-style distinct-vocabulary estimate per source — the
+    * distributed cardinality sketch (Flajolet et al.) built from
+    * COMPOSITION (the brief's preferred custom-operator path) on the
+    * engine-portable md5 hash family: 64 registers, bucket = h mod 64,
+    * rank = leading zeros of the remaining 26 bits + 1, register = max
+    * rank (order-free → any partitioning/merge order yields identical
+    * registers, which is why HLL distributes). The raw estimate
+    * 0.709·m²/Σ2^(−M_j) uses only exact powers of two (Σ of ≤64 exact
+    * doubles with ≤27-bit exponent spread is EXACT), so DuckDB reproduces
+    * the estimate bit-for-bit — unlike approx_count_distinct, whose
+    * engine-private sketch cannot be cross-checked. Exact distinct is
+    * emitted alongside as the accuracy witness. Map + one (source,bucket)
+    * partial-agg shuffle at scale. */
+  private val q49: Q = (s, d) => {
+    val words = t(s, d, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+    val hashed = words.withColumn("h",
+      expr("conv(substring(md5(word), 1, 8), 16, 10)").cast("long"))
+    val regs = hashed
+      .withColumn("bucket", col("h") % 64)
+      .withColumn("w", floor(col("h") / 64).cast("long"))
+      .withColumn("rank",
+        when(col("w") === 0L, lit(27L))
+          .otherwise(lit(27L) - length(expr("bin(w)")).cast("long")))
+      .groupBy("source", "bucket")
+      .agg(max("rank").as("m"))
+    val allBuckets = t(s, d, "documents").select("source").distinct()
+      .select(col("source"), explode(expr("sequence(0L, 63L)")).as("bucket")) // map-side literal domain, no join
+    val full = allBuckets.join(regs, Seq("source", "bucket"), "left")
+      .withColumn("m", coalesce(col("m"), lit(0L)))
+    val est = full.groupBy("source")
+      .agg(sum(pow(lit(2.0), -col("m"))).as("z"))
+      .select(col("source"),
+        round(lit(0.709 * 64 * 64) / col("z"), 2).as("hll_estimate"))
+    val exact = words.groupBy("source")
+      .agg(countDistinct("word").cast("long").as("exact_distinct"))
+    est.join(exact, "source")
+      .select("source", "hll_estimate", "exact_distinct")
+      .orderBy("source")
+  }
+
+  private val q49Sql =
+    """WITH w AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+      |h AS (
+      |  SELECT source, word,
+      |    (('0x' || substring(md5(word), 1, 8))::BIGINT) AS h
+      |  FROM w WHERE word <> ''),
+      |r AS (
+      |  SELECT source, h % 64 AS bucket,
+      |    CASE WHEN h // 64 = 0 THEN 27
+      |         ELSE 27 - length(bin(h // 64)) END AS rank
+      |  FROM h),
+      |regs AS (SELECT source, bucket, max(rank) AS m FROM r GROUP BY 1, 2),
+      |dom AS (
+      |  SELECT DISTINCT d.source, gs.b AS bucket
+      |  FROM documents d CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) gs),
+      |full_regs AS (
+      |  SELECT dom.source, dom.bucket, coalesce(regs.m, 0) AS m
+      |  FROM dom LEFT JOIN regs USING (source, bucket)),
+      |est AS (
+      |  SELECT source, round(0.709 * 64 * 64 / sum(power(2.0, -m)), 2) AS hll_estimate
+      |  FROM full_regs GROUP BY source),
+      |ex AS (
+      |  SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS exact_distinct
+      |  FROM w WHERE word <> '' GROUP BY source)
+      |SELECT source, hll_estimate, exact_distinct
+      |FROM est JOIN ex USING (source) ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+  /** Exact per-source length quantiles (p50/p90/p99 of n_chars) — the
+    * corpus length-distribution report a filtering pipeline thresholds
+    * from. EXACT discrete quantiles (value at rank ceil(p·n/100), pure
+    * integer rank arithmetic) rather than percentile_approx: the approx
+    * sketch is engine-private and unverifiable cross-engine, while the
+    * exact form is a per-source window sort — partitioned by source, no
+    * global window, the at-scale shape. */
+  private val q50: Q = (s, d) => {
+    val ranked = t(s, d, "documents")
+      .select(col("source"), col("n_chars"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("n_chars")).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+    // Column `/` is DOUBLE division in Spark — the rank comparison needs
+    // integer `div` to stay the exact ceil(p·n/100) both engines compute
+    ranked.groupBy("source")
+      .agg(
+        max("n").cast("long").as("n_docs"),
+        max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("n_chars"))).as("p50"),
+        max(when(col("rn") === expr("(n * 90 + 99) div 100"), col("n_chars"))).as("p90"),
+        max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("n_chars"))).as("p99"))
+      .orderBy("source")
+  }
+
+  private val q50Sql =
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents)
+      |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+      |  max(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_chars END) AS p50,
+      |  max(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_chars END) AS p90,
+      |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_chars END) AS p99
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q01_group_agg" -> q01,
     "q02_filter_project" -> q02,
@@ -1461,7 +1569,9 @@ object Queries {
     "q45_pii_redact" -> q45,
     "q46_repetition_stats" -> q46,
     "q47_top_bigrams" -> q47,
-    "q48_stratified_split" -> q48)
+    "q48_stratified_split" -> q48,
+    "q49_hll_distinct" -> q49,
+    "q50_length_quantiles" -> q50)
 
   val oracles: Map[String, String] = Map(
     "q01_group_agg" -> q01Sql,
@@ -1511,5 +1621,7 @@ object Queries {
     "q45_pii_redact" -> q45Sql,
     "q46_repetition_stats" -> q46Sql,
     "q47_top_bigrams" -> q47Sql,
-    "q48_stratified_split" -> q48Sql)
+    "q48_stratified_split" -> q48Sql,
+    "q49_hll_distinct" -> q49Sql,
+    "q50_length_quantiles" -> q50Sql)
 }
