@@ -104,7 +104,9 @@ class DocsClaimsSpec extends AnyFunSuite {
       m <- benchCite.findAllMatchIn(line)
       artifact = m.group(1)
       window = line.substring(math.max(0, m.start - 40), m.start)
-      claim <- raw"\d\.\d{2,3}".r.findAllIn(window).toSeq.lastOption
+      // lookarounds: don't pick "2.25" out of "22.25 s" or a truncated
+      // prefix of a longer number
+      claim <- raw"(?<![\d.])\d\.\d{2,3}(?!\d)".r.findAllIn(window).toSeq.lastOption
       path = repo.resolve(artifact)
       if Files.exists(path)
       text = new String(Files.readAllBytes(path), "UTF-8")
