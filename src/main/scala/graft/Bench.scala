@@ -318,6 +318,9 @@ object Bench {
     }
 
     val er = runErScaling(erClusters, rounds)
+    // progress to stderr (stdout stays the single JSON line): a captured
+    // log truncated mid-run still carries the first-scale numbers
+    System.err.println(s"[bench] er block done: $er")
     // second corpus scale (VERDICT r03 #3): show the ≥0.8 ratio is not
     // tuned to one corpus size — same protocol at 2× the default corpus,
     // fewer rounds (the passes are ~2× longer; min-of-4 still dodges
