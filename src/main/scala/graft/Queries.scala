@@ -1521,6 +1521,49 @@ object Queries {
       |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_chars END) AS p99
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  /** Day-over-day user retention — the cohort shape (self-join on a
+    * time-shifted key) events analytics needs and nothing in q37-q43
+    * exercises: per day, distinct active users and the fraction still
+    * active the NEXT day. Distinct per (day,user) first (one partial-agg
+    * shuffle), then the shifted self-join runs on the already-reduced
+    * daily table keyed by user — at scale the join input is |users|·days,
+    * not |events|. Day rendered as string and rate as 4dp-rounded double
+    * division of exact counts (engine-neutral, the q42/q46 discipline). */
+  private val q51: Q = (s, d) => {
+    val daily = t(s, d, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val nextDay = daily.select(
+      date_sub(col("day"), 1).as("day"), col("user_id").as("u2"))
+    val retained = daily
+      .join(nextDay, daily("day") === nextDay("day") &&
+        col("user_id") === col("u2"))
+      .groupBy(daily("day")).agg(count(lit(1)).as("retained"))
+    val active = daily.groupBy("day").agg(count(lit(1)).as("active"))
+    active.join(retained, Seq("day"), "left")
+      .withColumn("retained", coalesce(col("retained"), lit(0L)))
+      .select(
+        col("day").cast("string").as("day"),
+        col("active"), col("retained"),
+        round(col("retained").cast("double") / col("active"), 4).as("retention"))
+      .orderBy("day")
+  }
+
+  private val q51Sql =
+    """WITH daily AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |ret AS (
+      |  SELECT a.day, count(*) AS retained
+      |  FROM daily a JOIN daily b
+      |    ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY
+      |  GROUP BY a.day),
+      |act AS (SELECT day, count(*) AS active FROM daily GROUP BY day)
+      |SELECT CAST(act.day AS VARCHAR) AS day, active,
+      |  coalesce(retained, 0) AS retained,
+      |  round(CAST(coalesce(retained, 0) AS DOUBLE) / active, 4) AS retention
+      |FROM act LEFT JOIN ret ON ret.day = act.day
+      |ORDER BY day""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q01_group_agg" -> q01,
     "q02_filter_project" -> q02,
@@ -1571,7 +1614,8 @@ object Queries {
     "q47_top_bigrams" -> q47,
     "q48_stratified_split" -> q48,
     "q49_hll_distinct" -> q49,
-    "q50_length_quantiles" -> q50)
+    "q50_length_quantiles" -> q50,
+    "q51_retention" -> q51)
 
   val oracles: Map[String, String] = Map(
     "q01_group_agg" -> q01Sql,
@@ -1623,5 +1667,6 @@ object Queries {
     "q47_top_bigrams" -> q47Sql,
     "q48_stratified_split" -> q48Sql,
     "q49_hll_distinct" -> q49Sql,
-    "q50_length_quantiles" -> q50Sql)
+    "q50_length_quantiles" -> q50Sql,
+    "q51_retention" -> q51Sql)
 }
