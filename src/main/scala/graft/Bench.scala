@@ -63,6 +63,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // BENCH_r04 (driver) died rc=1 when a Hadoop VECTORED parquet read
+      // threw TimeoutException 40 min in (ParquetFileReader
+      // $ConsecutivePartList.readFromVectoredRange): a 32-thread local JVM
+      // on a contended sandbox disk is exactly where vectored-read futures
+      // time out. Plain positional reads have no such future/timeout, and
+      // at local-mode page-cache speeds the vectored merge wins nothing —
+      // disable it for every bench session (VERDICT r04 #1a).
+      .config("spark.hadoop.parquet.hadoop.vectored.io.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -100,18 +108,19 @@ object Bench {
 
     /** Deterministic listener-bus drain (ADVICE r03: a fixed 300 ms sleep
       * raced queued async task-end events under load): poll until the sum
-      * is unchanged across two consecutive 100 ms windows, bounded at
-      * 3 s. The final value feeds the per_thread_inflation /
+      * is unchanged across two consecutive 100 ms windows (ADVICE r04: the
+      * old loop exited after ONE stable window while the doc claimed two),
+      * bounded at 3 s. The final value feeds the per_thread_inflation /
       * efficiency_engine decomposition, so undercounting here skews a
       * published headline metric. */
     def drainedSeconds(): Double = {
       val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
       var prev = sum.sum()
-      var stable = false
-      while (!stable && System.nanoTime() < deadline) {
+      var stableWindows = 0
+      while (stableWindows < 2 && System.nanoTime() < deadline) {
         Thread.sleep(100)
         val cur = sum.sum()
-        stable = cur == prev
+        if (cur == prev) stableWindows += 1 else stableWindows = 0
         prev = cur
       }
       prev / 1e3
@@ -305,8 +314,16 @@ object Bench {
       val inflMin = taskHigh.min / taskLow.min
       val effEngine = math.min(1.0, efficiency * inflMin)
       def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+      // er_config note derived from the ACTUAL flags (ADVICE r04: a
+      // hardcoded static-plan note appeared verbatim in an AQE-on
+      // artifact, self-contradicting the aqe:true field next to it)
+      val note =
+        (if (erAqeOff)
+           "static-plan configuration (opt-in API), not the AQE-on library default; SPARK_GRAFT_ER_AQE=1 measures the default"
+         else "AQE-on library default (SPARK_GRAFT_ER_AQE=1)") +
+          (if (erFast) "; lean-memory fast flags (SPARK_GRAFT_ER_FAST=1)" else "")
       f"""{"clusters":$clusters,"docs":$docsHigh,""" +
-        f""""er_config":{"aqe":${!erAqeOff},"static_plan":$erAqeOff,"lean":$erFast,"note":"static-plan configuration (opt-in API), not the AQE-on library default; SPARK_GRAFT_ER_AQE=1 measures the default"},""" +
+        f""""er_config":{"aqe":${!erAqeOff},"static_plan":$erAqeOff,"lean":$erFast,"note":"$note"},""" +
         f""""scaling":{"protocol":"interleaved-fresh-session","cores_low":$coresLow,"cores_high":$coresHigh,""" +
         f""""partitions":$partitions,"sec_low":$secLow%.2f,"sec_high":$secHigh%.2f,""" +
         f""""passes_low":${arr(rawLow)},"passes_high":${arr(rawHigh)},""" +
@@ -317,36 +334,116 @@ object Bench {
         f""""per_thread_inflation":$inflMin%.3f,"efficiency_engine":$effEngine%.3f}}"""
     }
 
-    val er = runErScaling(erClusters, rounds)
-    // progress to stderr (stdout stays the single JSON line): a captured
-    // log truncated mid-run still carries the first-scale numbers
-    System.err.println(s"[bench] er block done: $er")
+    // ---- fault-isolated section runner + incremental artifact writes ----
+    // BENCH_r04 (driver) lost EVERY number to one late crash because the
+    // whole run shared one fate and the file was written once at the very
+    // end (VERDICT r04 #1b). Now: each section runs in its own try — a
+    // crash records an `errors` entry and nulls only that section — and
+    // the out-file is rewritten after every section, so a kill -9 mid-run
+    // still leaves the completed sections' numbers on disk.
+    val errors = scala.collection.mutable.ListBuffer[String]()
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    var erJson = "null"
+    var er4xJson = "null"
+    var er16xJson = "null"
+    var catalogValue: Option[Double] = None
+    var catalogQs: Option[String] = None
+
+    def jsonStr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", " ").replace("\r", " ").replace("\t", " ") + "\""
+    // skipped/failed sections emit null, never a zero-valued block that
+    // reads like a measurement (VERDICT r04 #5)
+    def currentLine(): String = {
+      val v = catalogValue.map(x => f"$x%.3f").getOrElse("null")
+      val qs = catalogQs.getOrElse("null")
+      val errJson =
+        if (errors.isEmpty) "[]" else errors.map(jsonStr).mkString("[", ",", "]")
+      f"""{"metric":"total","value":$v,"unit":"sec","queries":$qs,"sf":"$sfDir","er":$erJson,"er_4x":$er4xJson,"er_16x_probe":$er16xJson,"errors":$errJson}"""
+    }
+    def writeOut(): Unit =
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (currentLine() + "\n").getBytes("UTF-8"))
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    def section(name: String)(body: => Unit): Unit = {
+      try body
+      catch { case e: Throwable =>
+        errors += s"$name: ${e.getClass.getName}: ${e.getMessage}"
+        System.err.println(s"[bench] section $name FAILED:")
+        e.printStackTrace()
+      }
+      writeOut()
+    }
+
+    section("er") {
+      erJson = runErScaling(erClusters, rounds)
+      // progress to stderr (stdout stays the single JSON line): a captured
+      // log truncated mid-run still carries the first-scale numbers
+      System.err.println(s"[bench] er block done: $erJson")
+    }
     // second corpus scale (VERDICT r03 #3): show the ≥0.8 ratio is not
     // tuned to one corpus size — same protocol at 2× the default corpus,
     // fewer rounds (the passes are ~2× longer; min-of-4 still dodges
     // bursts and the quiet-window gate handles plateaus). Skip with
     // SPARK_GRAFT_SKIP_ER4X=1 for quick iteration.
     val skipEr4x = sys.env.get("SPARK_GRAFT_SKIP_ER4X").contains("1")
-    val erClusters4x = sys.env.getOrElse("SPARK_GRAFT_ER_CLUSTERS_4X",
-      (2 * erClusters).toString).toLong
-    val rounds4x = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS_4X", "4").toInt
-    val er4x = if (skipEr4x) "null" else runErScaling(erClusters4x, rounds4x)
+    if (!skipEr4x) section("er_4x") {
+      val erClusters4x = sys.env.getOrElse("SPARK_GRAFT_ER_CLUSTERS_4X",
+        (2 * erClusters).toString).toLong
+      val rounds4x = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS_4X", "4").toInt
+      er4xJson = runErScaling(erClusters4x, rounds4x)
+      System.err.println(s"[bench] er_4x block done: $er4xJson")
+    }
+    // one-shot larger-scale probe (VERDICT r04 #7): a third corpus-scale
+    // point — ~4× the default corpus at 16 cores, 1 unmeasured warmup +
+    // min-of-2 timed passes (the JVM is already JIT-warm from the er
+    // sections; the warmup pays this corpus's first-touch costs). A
+    // throughput witness that the pipeline holds as data grows, NOT a
+    // two-level efficiency measurement (16 threads saturate this box's
+    // shared memory system — see "Why 4→16 threads" in BENCH.md).
+    val skipEr16x = sys.env.get("SPARK_GRAFT_SKIP_ER16X").contains("1")
+    if (!skipEr16x) section("er_16x_probe") {
+      val clusters16 = sys.env.getOrElse("SPARK_GRAFT_ER_CLUSTERS_16X",
+        (4 * erClusters).toString).toLong
+      val cores16 = sys.env.getOrElse("SPARK_GRAFT_ER_CORES_16X", "16").toInt
+      val parts16 = 2 * cores16
+      val corpusDir = graft.util.Scratch.unique("bench_corpus16") + "/webpages"
+      val setup = session(16, 48, aqe = !erAqeOff)
+      graft.sources.WebPagesGen.webpages(setup, clusters16)
+        .repartition(48).write.mode("overwrite").parquet(corpusDir)
+      erPass(setup, corpusDir) // unmeasured warmup (first-touch on THIS corpus)
+      setup.stop(); System.gc()
+      val passes = (1 to 2).map { _ =>
+        awaitQuiet(maxBusy, waitBudget)
+        val spark = session(cores16, parts16, aqe = !erAqeOff)
+        try erPass(spark, corpusDir)
+        finally { spark.stop(); System.gc() }
+      }
+      val (docs, sec) = passes.minBy(_._2)
+      def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+      er16xJson =
+        f"""{"clusters":$clusters16,"docs":$docs,"cores":$cores16,"partitions":$parts16,""" +
+          f""""passes_sec":${arr(passes.map(_._2))},"sec":$sec%.2f,"docs_per_sec":${docs / sec}%.1f,""" +
+          f""""note":"single-level warm throughput probe at ~4x the bench corpus; not an efficiency measurement"}"""
+      System.err.println(s"[bench] er_16x_probe done: $er16xJson")
+    }
 
     // catalog runs last (see runCatalog comment)
-    val results = runCatalog()
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","er":$er,"er_4x":$er4x}"""
-    // ALSO write the line to a file (VERDICT r03 #7): the driver's
-    // artifact capture scrapes sbt stdout and has twice recorded the line
-    // embedded in log tails with "parsed": null — a file read never does.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    if (!skipCatalog) section("catalog") {
+      val results = runCatalog()
+      catalogQs = Some(
+        results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}"))
+      catalogValue = Some(results.map(_._2).sum)
+    }
+
+    val line = currentLine()
+    // stdout carries the bare JSON line and nothing else, printed BEFORE
+    // the final file write (VERDICT r04 #1c); the file (VERDICT r03 #7)
+    // is the primary channel — the driver's sbt-stdout scraping has twice
+    // recorded "parsed": null even on success.
     println(line)
+    writeOut()
   }
 }
