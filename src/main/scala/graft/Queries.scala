@@ -675,7 +675,11 @@ object Queries {
     * must equal the planted clustering exactly. */
   private val q29: Q = (s, _) => {
     import s.implicits._
-    val pages = graft.sources.WebPagesGen.webpages(s, Q29Clusters)
+    // 8 generator partitions for the 307-doc corpus (vs inheriting the
+    // 96-wide catalog session): task count tracks data volume, the same
+    // one-partition-per-N-MB sizing a 100-TB run would use — at 96 the
+    // query's wall time was dominated by scheduling near-empty tasks
+    val pages = graft.sources.WebPagesGen.webpages(s, Q29Clusters, numPartitions = 8)
     val extracted = graft.pipeline.EntityResolution.extract(s, pages)
     // feats feeds FIVE distinct plan subtrees below (blocks, both scoring
     // sides, CC vertices, the final url join) — materialize once to

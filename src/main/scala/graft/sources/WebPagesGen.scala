@@ -195,10 +195,22 @@ $paras
   def blockKeyOf(c: Long): String =
     TextFunctions.cleanEntity(titleWords(c).map(TextFunctions.upperFirst).mkString(" "))
 
-  /** Generate `nClusters` clusters (≈2.05 docs/cluster on this size law). */
-  def webpages(spark: SparkSession, nClusters: Long): Dataset[WebPage] = {
+  /** Generate `nClusters` clusters (≈2.05 docs/cluster on this size law).
+    * @param numPartitions generator task width; 0 (default) inherits the
+    *   session default parallelism. Callers generating a corpus far
+    *   smaller than the session width should size this to the data (the
+    *   usual one-partition-per-N-MB rule): the 307-doc catalog corpus
+    *   under a 96-wide session otherwise runs EVERY downstream stage as
+    *   96 near-empty tasks whose scheduling latency is pure serial floor.
+    *   Content is a pure function of cluster id — partitioning never
+    *   changes the generated rows. */
+  def webpages(
+      spark: SparkSession, nClusters: Long, numPartitions: Int = 0): Dataset[WebPage] = {
     import spark.implicits._
-    spark.range(nClusters).flatMap { c =>
+    val ids =
+      if (numPartitions > 0) spark.range(0L, nClusters, 1L, numPartitions)
+      else spark.range(nClusters)
+    ids.flatMap { c =>
       (0 until clusterSize(c)).map(v => genPage(c, v).page)
     }
   }
