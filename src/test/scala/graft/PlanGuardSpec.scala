@@ -83,4 +83,65 @@ class PlanGuardSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(plans("q47_top_bigrams").contains("TakeOrderedAndProject"),
       "q47's orderBy+limit no longer collapses to per-partition top-k merge")
   }
+
+  // ---- round-5 pins (VERDICT r04 #4): the round-4 operators' earned shapes
+
+  /** Pre-AQE physical plan (a plain SparkPlan tree — traversable, unlike
+    * the AdaptiveSparkPlanExec wrapper). */
+  private def sparkPlanOf(name: String): org.apache.spark.sql.execution.SparkPlan =
+    Queries.all.toMap.apply(name)(spark, dir).queryExecution.sparkPlan
+
+  test("q49's 64-bucket domain is a literal sequence, not a join") {
+    val p = sparkPlanOf("q49_hll_distinct")
+    // sequence(0,63) constant-folds to a literal array in the Generate —
+    // the explode argument must stay a literal (no #N column reference)
+    assert(raw"Generate explode\([^)#]*\)".r.findFirstIn(p.toString).isDefined,
+      "q49 lost its literal (constant-folded sequence) bucket-domain explode")
+    // exactly the two semantic joins survive (registers left-join domain,
+    // estimate join exact-witness) — a third join means someone rebuilt
+    // the 64-row domain as a joined table
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.size <= 2,
+      s"q49 grew ${joins.size} joins — the bucket domain must stay a literal sequence")
+  }
+
+  test("q51's joins see only pre-reduced daily aggregates, never raw events") {
+    // at scale the retention self-join's input must be |users|x|days|
+    // (the daily-distinct aggregate), not |events| — every join child
+    // subtree that reaches a scan must pass through an Aggregate first
+    val p = sparkPlanOf("q51_retention")
+    import org.apache.spark.sql.execution.SparkPlan
+    def subtreeHas(n: SparkPlan, pred: SparkPlan => Boolean): Boolean =
+      pred(n) || n.children.exists(subtreeHas(_, pred))
+    val isScan = (n: SparkPlan) => n.getClass.getSimpleName.contains("Scan")
+    val isAgg = (n: SparkPlan) => n.getClass.getSimpleName.contains("Aggregate")
+    val offenders = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        j.children.filter(c => subtreeHas(c, isScan) && !subtreeHas(c, isAgg))
+    }.flatten
+    assert(offenders.isEmpty,
+      s"q51 joins a raw (un-aggregated) scan: ${offenders.map(_.nodeName)}")
+  }
+
+  test("q44/q45 stay map-only up to their final aggregation/sort") {
+    // the redaction/canonicalization chains are per-row regex algebra: no
+    // joins ever, and shuffles only where the semantics demand them —
+    // q45: the final orderBy (1 exchange); q44: the two-phase
+    // count-distinct host aggregation + final orderBy (≤3 exchanges)
+    for ((name, maxExchanges) <- Seq("q45_pii_redact" -> 1, "q44_url_canon" -> 3)) {
+      val p = sparkPlanOf(name)
+      val joins = p.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.isEmpty, s"$name grew a join: ${joins.map(_.nodeName)}")
+      val exchanges = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(exchanges.size <= maxExchanges,
+        s"$name plans ${exchanges.size} shuffles (> $maxExchanges) — " +
+          "the map-only chain picked up an extra exchange")
+    }
+  }
 }
