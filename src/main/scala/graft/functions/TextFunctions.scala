@@ -274,7 +274,95 @@ object TextFunctions {
     '据' -> "Ju", '字' -> "Zi", '体' -> "Ti", '體' -> "Ti",
     '五' -> "Wu", '四' -> "Si", '六' -> "Liu", '七' -> "Qi",
     '八' -> "Ba", '九' -> "Jiu", '百' -> "Bai", '千' -> "Qian",
-    '万' -> "Wan", '萬' -> "Wan")
+    '万' -> "Wan", '萬' -> "Wan",
+    // round-5 widening (VERDICT r04 #6): the Zipf-weighted residue
+    // measurement in PropertySpec found 27.9% of CJK character mass
+    // passing through — the uncovered top-~400 frequency ranks below
+    // bring it to ~13% (the remaining tail is the genuinely long one)
+    '种' -> "Zhong", '種' -> "Zhong", '么' -> "Me", '定' -> "Ding",
+    '部' -> "Bu", '其' -> "Qi", '因' -> "Yin", '军' -> "Jun",
+    '軍' -> "Jun", '者' -> "Zhe", '力' -> "Li", '它' -> "Ta",
+    '机' -> "Ji", '機' -> "Ji", '第' -> "Di", '工' -> "Gong",
+    '使' -> "Shi", '情' -> "Qing", '明' -> "Ming", '性' -> "Xing",
+    '全' -> "Quan", '关' -> "Guan", '關' -> "Guan", '正' -> "Zheng",
+    '业' -> "Ye", '業' -> "Ye", '间' -> "Jian", '間' -> "Jian",
+    '由' -> "You", '问' -> "Wen", '問' -> "Wen", '很' -> "Hen",
+    '最' -> "Zui", '重' -> "Zhong", '并' -> "Bing", '並' -> "Bing",
+    '物' -> "Wu", '应' -> "Ying", '應' -> "Ying", '战' -> "Zhan",
+    '戰' -> "Zhan", '向' -> "Xiang", '政' -> "Zheng", '相' -> "Xiang",
+    '被' -> "Bei", '利' -> "Li", '什' -> "Shen", '等' -> "Deng",
+    '产' -> "Chan", '產' -> "Chan", '或' -> "Huo", '己' -> "Ji",
+    '制' -> "Zhi", '果' -> "Guo", '加' -> "Jia", '斯' -> "Si",
+    '月' -> "Yue", '话' -> "Hua", '話' -> "Hua", '合' -> "He",
+    '特' -> "Te", '代' -> "Dai", '内' -> "Nei", '內' -> "Nei",
+    '表' -> "Biao", '化' -> "Hua", '给' -> "Gei", '給' -> "Gei",
+    '世' -> "Shi", '位' -> "Wei", '次' -> "Ci", '度' -> "Du",
+    '门' -> "Men", '門' -> "Men", '任' -> "Ren", '常' -> "Chang",
+    '先' -> "Xian", '通' -> "Tong", '教' -> "Jiao", '儿' -> "Er",
+    '兒' -> "Er", '原' -> "Yuan", '声' -> "Sheng", '聲' -> "Sheng",
+    '提' -> "Ti", '立' -> "Li", '及' -> "Ji", '比' -> "Bi",
+    '员' -> "Yuan", '員' -> "Yuan", '解' -> "Jie", '名' -> "Ming",
+    '真' -> "Zhen", '论' -> "Lun", '論' -> "Lun", '处' -> "Chu",
+    '處' -> "Chu", '走' -> "Zou", '义' -> "Yi", '義' -> "Yi",
+    '各' -> "Ge", '入' -> "Ru", '几' -> "Ji", '幾' -> "Ji",
+    '口' -> "Kou", '认' -> "Ren", '認' -> "Ren", '条' -> "Tiao",
+    '條' -> "Tiao", '平' -> "Ping", '系' -> "Xi", '气' -> "Qi",
+    '氣' -> "Qi", '题' -> "Ti", '題' -> "Ti", '活' -> "Huo",
+    '尔' -> "Er", '爾' -> "Er", '更' -> "Geng", '别' -> "Bie",
+    '別' -> "Bie", '打' -> "Da", '女' -> "Nu", '变' -> "Bian",
+    '變' -> "Bian", '神' -> "Shen", '总' -> "Zong", '總' -> "Zong",
+    '何' -> "He", '安' -> "An", '少' -> "Shao", '报' -> "Bao",
+    '報' -> "Bao", '才' -> "Cai", '结' -> "Jie", '結' -> "Jie",
+    '反' -> "Fan", '受' -> "Shou", '目' -> "Mu", '太' -> "Tai",
+    '量' -> "Liang", '再' -> "Zai", '感' -> "Gan", '建' -> "Jian",
+    '务' -> "Wu", '務' -> "Wu", '做' -> "Zuo", '接' -> "Jie",
+    '必' -> "Bi", '场' -> "Chang", '場' -> "Chang", '件' -> "Jian",
+    '计' -> "Ji", '計' -> "Ji", '管' -> "Guan", '期' -> "Qi",
+    '直' -> "Zhi", '德' -> "De", '资' -> "Zi", '資' -> "Zi",
+    '命' -> "Ming", '金' -> "Jin", '指' -> "Zhi", '克' -> "Ke",
+    '许' -> "Xu", '許' -> "Xu", '统' -> "Tong", '統' -> "Tong",
+    '保' -> "Bao", '至' -> "Zhi", '队' -> "Dui", '隊' -> "Dui",
+    '形' -> "Xing", '社' -> "She", '便' -> "Bian", '空' -> "Kong",
+    '决' -> "Jue", '決' -> "Jue", '治' -> "Zhi", '展' -> "Zhan",
+    '马' -> "Ma", '馬' -> "Ma", '科' -> "Ke", '司' -> "Si",
+    '基' -> "Ji", '眼' -> "Yan", '书' -> "Shu", '書' -> "Shu",
+    '非' -> "Fei", '则' -> "Ze", '則' -> "Ze", '听' -> "Ting",
+    '聽' -> "Ting", '白' -> "Bai", '却' -> "Que", '界' -> "Jie",
+    '达' -> "Da", '達' -> "Da", '光' -> "Guang", '放' -> "Fang",
+    '强' -> "Qiang", '強' -> "Qiang", '即' -> "Ji", '像' -> "Xiang",
+    '难' -> "Nan", '難' -> "Nan", '且' -> "Qie", '权' -> "Quan",
+    '權' -> "Quan", '思' -> "Si", '象' -> "Xiang", '完' -> "Wan",
+    '设' -> "She", '設' -> "She", '式' -> "Shi", '色' -> "Se",
+    '路' -> "Lu", '记' -> "Ji", '記' -> "Ji", '品' -> "Pin",
+    '住' -> "Zhu", '告' -> "Gao", '类' -> "Lei", '類' -> "Lei",
+    '求' -> "Qiu", '程' -> "Cheng", '边' -> "Bian", '邊' -> "Bian",
+    '死' -> "Si", '张' -> "Zhang", '張' -> "Zhang", '该' -> "Gai",
+    '該' -> "Gai", '交' -> "Jiao", '规' -> "Gui", '規' -> "Gui",
+    '取' -> "Qu", '拉' -> "La", '格' -> "Ge", '望' -> "Wang",
+    '觉' -> "Jue", '覺' -> "Jue", '术' -> "Shu", '術' -> "Shu",
+    '领' -> "Ling", '領' -> "Ling", '共' -> "Gong", '确' -> "Que",
+    '確' -> "Que", '传' -> "Chuan", '傳' -> "Chuan", '师' -> "Shi",
+    '師' -> "Shi", '观' -> "Guan", '觀' -> "Guan", '清' -> "Qing",
+    '今' -> "Jin", '切' -> "Qie", '院' -> "Yuan", '让' -> "Rang",
+    '讓' -> "Rang", '识' -> "Shi", '識' -> "Shi", '候' -> "Hou",
+    '带' -> "Dai", '帶' -> "Dai", '导' -> "Dao", '導' -> "Dao",
+    '争' -> "Zheng", '爭' -> "Zheng", '运' -> "Yun", '運' -> "Yun",
+    '笑' -> "Xiao", '飞' -> "Fei", '飛' -> "Fei", '风' -> "Feng",
+    '風' -> "Feng", '步' -> "Bu", '改' -> "Gai", '收' -> "Shou",
+    '根' -> "Gen", '干' -> "Gan", '造' -> "Zao", '言' -> "Yan",
+    '联' -> "Lian", '聯' -> "Lian", '持' -> "Chi", '组' -> "Zu",
+    '組' -> "Zu", '每' -> "Mei", '济' -> "Ji", '濟' -> "Ji",
+    '车' -> "Che", '車' -> "Che", '亲' -> "Qin", '親' -> "Qin",
+    '极' -> "Ji", '極' -> "Ji", '林' -> "Lin", '服' -> "Fu",
+    '快' -> "Kuai", '办' -> "Ban", '辦' -> "Ban", '议' -> "Yi",
+    '議' -> "Yi", '往' -> "Wang", '元' -> "Yuan", '英' -> "Ying",
+    '士' -> "Shi", '证' -> "Zheng", '證' -> "Zheng", '近' -> "Jin",
+    '失' -> "Shi", '转' -> "Zhuan", '轉' -> "Zhuan", '夫' -> "Fu",
+    '令' -> "Ling", '准' -> "Zhun", '布' -> "Bu", '始' -> "Shi",
+    '怎' -> "Zen", '呢' -> "Ne", '存' -> "Cun", '未' -> "Wei",
+    '远' -> "Yuan", '遠' -> "Yuan", '叫' -> "Jiao", '单' -> "Dan",
+    '單' -> "Dan", '影' -> "Ying", '具' -> "Ju", '罗' -> "Luo",
+    '羅' -> "Luo")
 
   /** ASCII-fold + lowercase + strip: the engine's `clean_entity`
     * (/root/reference/src/db.py:12-13 `unidecode(entity).lower().strip()`).
@@ -283,7 +371,9 @@ object TextFunctions {
     * non-decomposable Latin letters), Greek/Cyrillic romanization,
     * Arabic/Hebrew/Devanagari tables, Eastern-Arabic digits, algorithmic
     * Hangul jamo romanization, letterwise kana romaji, and a bounded
-    * frequent-ideograph pinyin table ([[CjkPinyin]], ~190 codepoints).
+    * frequent-ideograph pinyin table ([[CjkPinyin]], ~540 codepoints
+    * covering the top ~400 frequency ranks + toponyms/variants; measured
+    * Zipf-weighted residue 0.129, pinned in PropertySpec).
     * Ideographs OUTSIDE that table pass through (full unidecode carries a
     * ~20k-entry table) — the passthrough stays OBSERVABLE via
     * `foldResidue`, surfaced per-corpus by `tools.Profile` and asserted in
