@@ -165,9 +165,16 @@ object SimilaritySearch {
 
   /** Cosine between two integer (quantized / centroid-sum) vectors,
     * accumulated in IEEE double in index order — the exact expression the
-    * DuckDB oracle evaluates (`Queries.cosSql` over BIGINT lists). At the
-    * quantization scale every product and partial sum is ≤ ~2^52, so the
-    * doubles are EXACT and the result is independent of engine. */
+    * DuckDB oracle evaluates (`Queries.cosSql` over BIGINT lists).
+    *
+    * Parity invariant (ADVICE r04): IDENTICAL-ORDER IEEE double
+    * evaluation, not exactness. These sequential loops mirror DuckDB's
+    * `list_sum` element order term for term, so both engines round the
+    * same way at every step. (Quantized DOCUMENT vectors do keep every
+    * product ≤ ~2^52 and thus exact, but a trained-centroid self-norm can
+    * exceed 2^52 — a centroid summing ~7k members has components ~7e7
+    * whose squares ~5e15 overflow the exact-integer range of a double —
+    * so order-matched rounding, not magnitude, is what carries parity.) */
   def cosQ(a: Array[Long], b: Array[Long]): Double = {
     val n = math.min(a.length, b.length)
     var dot = 0.0
