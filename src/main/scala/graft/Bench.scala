@@ -377,7 +377,11 @@ object Bench {
       writeOut()
     }
 
-    section("er") {
+    // SPARK_GRAFT_SKIP_ER=1 skips the base ER scaling block (catalog-only
+    // iteration), symmetric with SKIP_CATALOG/SKIP_ER4X/SKIP_ER16X — the
+    // section emits null, never a zero that reads like a measurement.
+    val skipEr = sys.env.get("SPARK_GRAFT_SKIP_ER").contains("1")
+    if (!skipEr) section("er") {
       erJson = runErScaling(erClusters, rounds)
       // progress to stderr (stdout stays the single JSON line): a captured
       // log truncated mid-run still carries the first-scale numbers

@@ -1654,39 +1654,60 @@ object Queries {
     * round one join ranks-to-edges (both sides hash-partitioned on the
     * same key — a real deployment persists edges+deg bucketed by src once
     * and reuses the partitioning every round, exactly like the CC
-    * operator) and one sum shuffle by dst. Top-20 is
-    * TakeOrderedAndProject, never a global sort. */
+    * operator) and one sum shuffle by dst.
+    *
+    * The round loop runs on partitioner-reused RDDs (the CC operator's
+    * pattern, ConnectedComponents.scala:40-63) rather than a DataFrame
+    * loop: Catalyst cannot carry hash-partitioning knowledge across an
+    * iterative self-reference — every localCheckpoint scan re-plans with
+    * fresh Exchange+Sort pairs (measured: ~30 exchanges / 12.7 s warm for
+    * the 5-round DataFrame form at sf0.1; explicit per-round broadcasts
+    * are worse still, 10 sequential driver collects). With one shared
+    * HashPartitioner, links⋈ranks and the leftOuterJoin are shuffle-FREE
+    * and each round pays exactly its one semantic shuffle — the
+    * (dst, contribution) reduceByKey. Node ids are BIGINT (orderkey·2 /
+    * partkey·2+1), not strings: the shuffled bytes are 16/row, and the
+    * tie-break order is engine-independent integer order. The top-20 is
+    * a bounded takeOrdered action (20 rows to the driver, q54's bounded-
+    * scalar precedent), so the returned frame is a LocalRelation with no
+    * live dependency on the loop's checkpoint blocks, which are released
+    * before returning. */
   private val q53: Q = (s, d) => {
     val pairs = t(s, d, "lineitem")
       .select(
-        concat(lit("o:"), col("l_orderkey").cast("string")).as("o"),
-        concat(lit("p:"), col("l_partkey").cast("string")).as("p"))
+        (col("l_orderkey").cast("long") * 2).as("o"),
+        (col("l_partkey").cast("long") * 2 + 1).as("p"))
       .distinct()
-    val edges = pairs.select(col("o").as("src"), col("p").as("dst"))
-      .unionByName(pairs.select(col("p").as("src"), col("o").as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesDeg = edges.join(deg, "src")
-    val nodes = deg.select(col("src").as("node"))
-    var ranks = nodes.withColumn("pr", lit(1000000L))
+    import s.implicits._
+    val hp = new org.apache.spark.HashPartitioner(
+      s.sparkContext.defaultParallelism)
+    val edges = pairs.as[(Long, Long)].rdd
+      .flatMap { case (o, p) => Iterator((o, p), (p, o)) }
+      .partitionBy(hp)
+    val deg = edges.mapValues(_ => 1L).reduceByKey(hp, _ + _) // no shuffle
+    val links = edges.join(deg, hp) // (src, (dst, deg)) — no shuffle
+      .localCheckpoint()
+    var ranks = deg.mapValues(_ => 1000000L) // hp-partitioned
     for (_ <- 1 to 5) {
-      val sums = edgesDeg
-        .join(ranks, edgesDeg("src") === ranks("node"))
-        .select(col("dst"), expr("pr div deg").as("contrib"))
-        .groupBy("dst").agg(sum("contrib").as("c"))
-      ranks = nodes
-        .join(sums, nodes("node") === sums("dst"), "left")
-        .select(
-          col("node"),
-          expr("150000L + (850000L * coalesce(c, 0L)) div 1000000L").as("pr"))
+      val sums = links.join(ranks, hp) // no shuffle: both hp-partitioned
+        .map { case (_, ((dst, dg), pr)) => (dst, pr / dg) }
+        .reduceByKey(hp, _ + _) // the round's ONE shuffle
+      ranks = deg.leftOuterJoin(sums, hp).mapValues { case (_, c) =>
+        150000L + (850000L * c.getOrElse(0L)) / 1000000L
+      } // no shuffle; left join keeps isolated-degree nodes at the floor
     }
-    ranks.orderBy(col("pr").desc, col("node")).limit(20)
+    val top = ranks
+      .takeOrdered(20)(Ordering.by { case (node, pr) => (-pr, node) })
+      .map { case (node, pr) => (node, pr) }
+    links.unpersist(blocking = true)
+    s.createDataFrame(top.toSeq).toDF("node", "pr")
   }
 
   private lazy val q53Sql = {
     val base =
       """WITH pairs AS (
-        |  SELECT DISTINCT 'o:' || CAST(l_orderkey AS VARCHAR) AS o,
-        |                  'p:' || CAST(l_partkey AS VARCHAR) AS p
+        |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) * 2 AS o,
+        |                  CAST(l_partkey AS BIGINT) * 2 + 1 AS p
         |  FROM lineitem),
         |edges AS (SELECT o AS src, p AS dst FROM pairs
         |          UNION ALL SELECT p AS src, o AS dst FROM pairs),
@@ -1882,6 +1903,285 @@ object Queries {
       |LEFT JOIN events e ON e.ts >= i.st AND e.ts < i.en
       |GROUP BY i.iid ORDER BY i.iid""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  /** Sorted-neighborhood blocking (Hernández/Stolfo merge-purge) — the
+    * classic ER blocking family the LSH path (q27) doesn't cover: sort
+    * documents by a normalized key, pair each with its next w-1=2
+    * neighbors in sort order, score each pair with the exact integer
+    * Levenshtein distance of the keys.
+    *
+    * 100-TB shape: the sort is PARTITIONED sorted-neighborhood — the
+    * 2-char key prefix is the distribution key, the window sorts only
+    * within a prefix, so no global sort and no single-partition window.
+    * Cross-prefix boundary pairs are the standard blocked-SNM blind spot,
+    * recovered in production by the standard multi-pass remedy (a second
+    * sweep under a rotated key), not by widening the window; the prefix
+    * length is the scale dial (2 chars ~1.3k partitions; 3-4 chars at
+    * 100 TB). Pair generation is lead()-based: map-side after the one
+    * prefix shuffle, output O(w*n), never a self-join. */
+  private val q57: Q = (s, d) => {
+    val keyed = t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        expr("substring(regexp_replace(lower(text), '[^a-z0-9]', ''), 1, 20)")
+          .as("snkey"))
+      .withColumn("pfx", expr("substring(snkey, 1, 2)"))
+    val w = Window.partitionBy("pfx").orderBy(col("snkey"), col("doc_id"))
+    keyed
+      .withColumn("nb", array(
+        struct(
+          lead(col("doc_id"), 1).over(w).as("b_id"),
+          lead(col("snkey"), 1).over(w).as("b_key")),
+        struct(
+          lead(col("doc_id"), 2).over(w).as("b_id"),
+          lead(col("snkey"), 2).over(w).as("b_key"))))
+      .select(col("pfx"), col("doc_id").as("a_id"), col("snkey"),
+        explode(col("nb")).as("nb"))
+      .where(col("nb.b_id").isNotNull)
+      .select(
+        col("pfx"), col("a_id"), col("nb.b_id").as("b_id"),
+        levenshtein(col("snkey"), col("nb.b_key")).cast("long").as("key_dist"))
+      .orderBy("pfx", "a_id", "b_id")
+  }
+
+  private val q57Sql =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |    substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 20) AS snkey
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, snkey, substring(snkey, 1, 2) AS pfx,
+      |    lead(doc_id, 1) OVER w AS b1, lead(snkey, 1) OVER w AS k1,
+      |    lead(doc_id, 2) OVER w AS b2, lead(snkey, 2) OVER w AS k2
+      |  FROM k
+      |  WINDOW w AS (PARTITION BY substring(snkey, 1, 2) ORDER BY snkey, doc_id)),
+      |pairs AS (
+      |  SELECT pfx, doc_id AS a_id, b1 AS b_id,
+      |    CAST(levenshtein(snkey, k1) AS BIGINT) AS key_dist
+      |  FROM p WHERE b1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT pfx, doc_id AS a_id, b2 AS b_id,
+      |    CAST(levenshtein(snkey, k2) AS BIGINT) AS key_dist
+      |  FROM p WHERE b2 IS NOT NULL)
+      |SELECT pfx, a_id, b_id, key_dist FROM pairs
+      |ORDER BY pfx, a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------------- q58
+  /** Blocking audit — the skew/efficiency metrics an ER deployment watches
+    * per run, over all three blocking families the engine implements:
+    * exact normalized key, sorted-neighborhood 2-char prefix (q57's
+    * distribution key), and MinHash-LSH band keys (q27's machinery,
+    * oracle-recomputed from the md5 hash family). Per family: block
+    * count, max block size, singleton blocks, generated candidate pairs
+    * sum(s*(s-1)/2) (pre-dedup for LSH, as blocking-quality literature
+    * counts them), against the corpus total-pair denominator — the
+    * reduction-ratio numerator/denominator as exact BIGINTs (no
+    * cross-engine float division).
+    *
+    * 100-TB shape: each family is one partial-agg shuffle over its
+    * (already tiny) block-size table, the three are unioned and reduced
+    * grouped BY FAMILY — no global scalar aggregate, so no
+    * single-partition exchange; the corpus count is the bounded
+    * driver-side scalar action (q54's pattern). This is exactly the
+    * counter set a lineage/metrics sidecar publishes per pipeline stage. */
+  private val q58: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val n = docs.count() // bounded scalar action (one long)
+    def stats(df: org.apache.spark.sql.DataFrame, family: String) =
+      df.groupBy("bk").agg(count(lit(1)).as("sz"))
+        .select(lit(family).as("family"), col("sz"))
+    val exact = stats(docs.select(
+      expr("regexp_replace(lower(text), '[^a-z0-9]', '')").as("bk")), "exact")
+    val snm = stats(docs.select(
+      expr("substring(regexp_replace(lower(text), '[^a-z0-9]', ''), 1, 2)")
+        .as("bk")), "snm_prefix")
+    val lsh = {
+      import s.implicits._
+      stats(bandEntries(s, d).toDF("bk", "doc_id").select("bk"), "minhash_lsh")
+    }
+    exact.unionByName(snm).unionByName(lsh)
+      .groupBy("family")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        max("sz").as("max_block"),
+        sum(when(col("sz") === 1, 1L).otherwise(0L)).as("singleton_blocks"),
+        sum(expr("sz * (sz - 1) div 2")).as("cand_pairs"))
+      .withColumn("total_pairs", lit(n * (n - 1) / 2))
+      .orderBy("family")
+  }
+
+  private lazy val q58Sql =
+    s"""WITH $minHashCtes,
+       |nk AS (
+       |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS k
+       |  FROM documents),
+       |fams AS (
+       |  SELECT 'exact' AS family, count(*) AS sz FROM nk GROUP BY k
+       |  UNION ALL
+       |  SELECT 'snm_prefix' AS family, count(*) AS sz
+       |  FROM nk GROUP BY substring(k, 1, 2)
+       |  UNION ALL
+       |  SELECT 'minhash_lsh' AS family, count(*) AS sz
+       |  FROM keys GROUP BY band_key)
+       |SELECT family,
+       |  count(*) AS n_blocks,
+       |  max(sz) AS max_block,
+       |  CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singleton_blocks,
+       |  CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs,
+       |  (SELECT CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) FROM documents) AS total_pairs
+       |FROM fams GROUP BY family ORDER BY family""".stripMargin
+
+  // ------------------------------------------------------------ q59-q61
+  /** Distinct winnowed (doc_id, fingerprint) table — q55's 8-char rolling
+    * hash over the first 512 chars with mod-64 winnowing-style selection,
+    * deduplicated per document. Shared by q59 (duplicated passages) and
+    * q60 (decontamination); [[fpCtes]] is the DuckDB mirror, built from
+    * the same [[rollHashSql]] expression string so the arithmetic cannot
+    * drift between engines. */
+  private def winnowedFps(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 512).as("s"))
+      .select(col("doc_id"),
+        explode(
+          when(length(col("s")) >= 8, expr("sequence(1, length(s) - 7)"))
+            .otherwise(array().cast("array<int>"))).as("i"),
+        col("s"))
+      .select(col("doc_id"), expr("substring(s, i, 8)").as("g"))
+      .select(col("doc_id"), expr(rollHashSql("g")).as("h"))
+      .where(col("h") % 64 === 0)
+      .select("doc_id", "h").distinct()
+
+  private lazy val fpCtes: String =
+    s"""s0 AS (SELECT doc_id, substring(text, 1, 512) AS s FROM documents),
+       |grams AS (
+       |  SELECT doc_id, substring(s, CAST(i AS INTEGER), 8) AS g
+       |  FROM (SELECT doc_id, s,
+       |          unnest(range(1, greatest(length(s) - 6, 1))) AS i FROM s0)),
+       |fps AS (
+       |  SELECT DISTINCT doc_id, h
+       |  FROM (SELECT doc_id, ${rollHashSql("g")} AS h FROM grams)
+       |  WHERE h % 64 = 0)""".stripMargin
+
+  // ---------------------------------------------------------------- q59
+  /** Cross-document duplicated-passage detection — the exact-substring
+    * dedup family (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): two documents sharing ≥2 distinct winnowed
+    * 8-gram fingerprints have verbatim copied passages, which survives
+    * MinHash (q27: whole-doc similarity) and SimHash (q28) when the
+    * copied span is a small fraction of each document. Fingerprints in
+    * >50 documents are dropped as boilerplate — the stop-fingerprint
+    * analog of q27's stop-block cap.
+    *
+    * 100-TB shape: fingerprinting is map-side; one (doc,h) distinct
+    * shuffle; the per-h document count is a partial-agg over the
+    * already-winnowed (1/64) table; the pair join is blocked BY
+    * FINGERPRINT with the ≤50-doc cap, so each block yields ≤C(50,2)
+    * pairs — never a doc×doc self-join — and the final per-pair count is
+    * one shuffle over shared-fingerprint rows only. */
+  private val q59: Q = (s, d) => {
+    val fps = winnowedFps(s, d)
+    val hcnt = fps.groupBy("h").agg(count(lit(1)).as("nd"))
+      .where(col("nd").between(2, 50))
+      .select("h")
+    val blocked = fps.join(hcnt, "h")
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .where(col("shared_fp") >= 2)
+      .orderBy("a_id", "b_id")
+  }
+
+  private lazy val q59Sql =
+    s"""WITH $fpCtes,
+       |hc AS (SELECT h FROM fps GROUP BY h
+       |       HAVING count(*) BETWEEN 2 AND 50),
+       |bl AS (SELECT doc_id, h FROM fps JOIN hc USING (h))
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared_fp
+       |FROM bl a JOIN bl b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------------- q60
+  /** Eval-set decontamination — the benchmark-overlap check every LLM
+    * training pipeline runs before a corpus ships (GPT-3 §5 / PaLM-style
+    * n-gram collision): a deterministic 1/97 slice of the corpus plays
+    * the held-out benchmark, and every TRAINING document sharing ≥1
+    * winnowed 8-gram fingerprint with it is flagged with its collision
+    * count, ordered by doc_id.
+    *
+    * 100-TB shape: a real benchmark suite is ~10^5-10^6 n-grams — the
+    * eval fingerprint set is broadcast (hinted explicitly), so the train
+    * side stays map-only until one per-doc partial-agg shuffle; nothing
+    * scales with corpus×eval. The distinct (doc,h) input makes `hits`
+    * a distinct-collision count without a countDistinct. */
+  private val q60: Q = (s, d) => {
+    val fps = winnowedFps(s, d)
+    val evalGrams = fps.where(col("doc_id") % 97 === 0)
+      .select("h").distinct()
+    fps.where(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalGrams), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("hits"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val q60Sql =
+    s"""WITH $fpCtes,
+       |ev AS (SELECT DISTINCT h FROM fps WHERE doc_id % 97 = 0)
+       |SELECT doc_id, count(*) AS hits
+       |FROM fps JOIN ev USING (h)
+       |WHERE doc_id % 97 <> 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q61
+  /** Corpus-frequency rarity scoring — the integer-deterministic core of
+    * the CCNet/C4 "LM quality filter" shape: score each document by how
+    * common its tokens are in the corpus itself (two-pass: corpus unigram
+    * counts, then a token→count join aggregated per doc). Emits exact
+    * BIGINTs — token count, summed corpus frequency, rarest-token
+    * frequency, and the ≤2-occurrence rare-token count — rather than a
+    * float mean-log-likelihood, whose ln() ULP drift would make the
+    * result engine-dependent; any monotone scoring (avg log-freq,
+    * perplexity proxy) derives from these columns downstream.
+    *
+    * 100-TB shape: tokenize+explode map-side; one term-level partial-agg
+    * shuffle for the count table; the token→count join shuffles on term
+    * with BOTH sides pre-reduced per partition (partial aggregation), and
+    * the final per-doc agg is one shuffle. The count table is
+    * vocabulary-sized, not corpus-sized — but unbounded at web scale, so
+    * it is a shuffle join, deliberately NOT a broadcast. */
+  private val q61: Q = (s, d) => {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .where(length(col("term")) >= 3)
+    val cnts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    toks.join(cnts, "term")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("cnt")).as("sum_cnt"),
+        min(col("cnt")).as("min_cnt"),
+        sum(when(col("cnt") <= 2, 1L).otherwise(0L)).as("rare_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val q61Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, t.term FROM documents,
+      |    unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+      |  WHERE length(t.term) >= 3),
+      |cnts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term)
+      |SELECT doc_id,
+      |  count(*) AS n_tokens,
+      |  CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+      |  min(cnt) AS min_cnt,
+      |  CAST(sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS rare_tokens
+      |FROM toks JOIN cnts USING (term)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q01_group_agg" -> q01,
     "q02_filter_project" -> q02,
@@ -1938,7 +2238,12 @@ object Queries {
     "q53_pagerank" -> q53,
     "q54_keyword_topk" -> q54,
     "q55_fingerprint" -> q55,
-    "q56_range_join" -> q56)
+    "q56_range_join" -> q56,
+    "q57_sorted_neighborhood" -> q57,
+    "q58_blocking_audit" -> q58,
+    "q59_dup_passages" -> q59,
+    "q60_decontaminate" -> q60,
+    "q61_rarity_score" -> q61)
 
   val oracles: Map[String, String] = Map(
     "q01_group_agg" -> q01Sql,
@@ -1996,5 +2301,10 @@ object Queries {
     "q53_pagerank" -> q53Sql,
     "q54_keyword_topk" -> q54Sql,
     "q55_fingerprint" -> q55Sql,
-    "q56_range_join" -> q56Sql)
+    "q56_range_join" -> q56Sql,
+    "q57_sorted_neighborhood" -> q57Sql,
+    "q58_blocking_audit" -> q58Sql,
+    "q59_dup_passages" -> q59Sql,
+    "q60_decontaminate" -> q60Sql,
+    "q61_rarity_score" -> q61Sql)
 }
