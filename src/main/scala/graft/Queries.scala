@@ -1662,16 +1662,28 @@ object Queries {
     * iterative self-reference — every localCheckpoint scan re-plans with
     * fresh Exchange+Sort pairs (measured: ~30 exchanges / 12.7 s warm for
     * the 5-round DataFrame form at sf0.1; explicit per-round broadcasts
-    * are worse still, 10 sequential driver collects). With one shared
-    * HashPartitioner, links⋈ranks and the leftOuterJoin are shuffle-FREE
-    * and each round pays exactly its one semantic shuffle — the
-    * (dst, contribution) reduceByKey. Node ids are BIGINT (orderkey·2 /
-    * partkey·2+1), not strings: the shuffled bytes are 16/row, and the
-    * tie-break order is engine-independent integer order. The top-20 is
-    * a bounded takeOrdered action (20 rows to the driver, q54's bounded-
+    * are worse still, 10 sequential driver collects). RDD cogroup joins
+    * are no better (3.3 s/round of ExternalAppendOnlyMap churn); instead
+    * each round is two zipPartitions streams over the shared
+    * HashPartitioner layout — build a per-partition hash map of the small
+    * side (ranks: |nodes|/parts entries, the same memory bound as any
+    * co-partitioned hash join's build side), stream the big side through
+    * it — plus the round's ONE semantic shuffle, the (dst, contribution)
+    * reduceByKey (measured 3.5 s warm for all 5 rounds at sf0.1, 4.3×
+    * over the DataFrame loop). The contributions zip output is keyed by
+    * dst while its partitions are laid out by src hash, so it must NOT
+    * claim the src partitioner (preservesPartitioning=false, the
+    * default): a false claim makes reduceByKey elide the shuffle
+    * entirely and silently mis-aggregates — caught by the value-level
+    * oracle when tried. Node ids are BIGINT (orderkey·2 / partkey·2+1),
+    * not strings: the shuffled bytes are 16/row, and the tie-break order
+    * is engine-independent integer order. Each ranks RDD is consumed by
+    * exactly one downstream stage, so the 5-round lineage is linear and
+    * needs no per-round persist; only links/deg (used every round) are
+    * cached, and both are released before returning. The top-20 is a
+    * bounded takeOrdered action (20 rows to the driver, q54's bounded-
     * scalar precedent), so the returned frame is a LocalRelation with no
-    * live dependency on the loop's checkpoint blocks, which are released
-    * before returning. */
+    * live dependency on the loop's cached blocks. */
   private val q53: Q = (s, d) => {
     val pairs = t(s, d, "lineitem")
       .select(
@@ -1685,21 +1697,35 @@ object Queries {
       .flatMap { case (o, p) => Iterator((o, p), (p, o)) }
       .partitionBy(hp)
     val deg = edges.mapValues(_ => 1L).reduceByKey(hp, _ + _) // no shuffle
-    val links = edges.join(deg, hp) // (src, (dst, deg)) — no shuffle
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val links = edges.join(deg, hp) // (src, dst, deg) — no shuffle
+      .mapPartitions(
+        it => it.map { case (src, (dst, dg)) => (src, dst, dg) },
+        preservesPartitioning = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     var ranks = deg.mapValues(_ => 1000000L) // hp-partitioned
     for (_ <- 1 to 5) {
-      val sums = links.join(ranks, hp) // no shuffle: both hp-partitioned
-        .map { case (_, ((dst, dg), pr)) => (dst, pr / dg) }
+      val sums = links
+        .zipPartitions(ranks) { (lIt, rIt) => // co-partitioned rank lookup
+          val rk = new java.util.HashMap[Long, Long]()
+          rIt.foreach { case (n, pr) => rk.put(n, pr) }
+          lIt.map { case (src, dst, dg) => (dst, rk.get(src) / dg) }
+        } // dst-keyed but src-laid-out: must not claim hp (see Scaladoc)
         .reduceByKey(hp, _ + _) // the round's ONE shuffle
-      ranks = deg.leftOuterJoin(sums, hp).mapValues { case (_, c) =>
-        150000L + (850000L * c.getOrElse(0L)) / 1000000L
-      } // no shuffle; left join keeps isolated-degree nodes at the floor
+      ranks = deg
+        .zipPartitions(sums, preservesPartitioning = true) { (dIt, sIt) =>
+          val sm = new java.util.HashMap[Long, Long]()
+          sIt.foreach { case (n, c) => sm.put(n, c) }
+          dIt.map { case (n, _) => // absent key = isolated node at floor
+            (n, 150000L + (850000L * sm.getOrDefault(n, 0L)) / 1000000L)
+          }
+        }
     }
     val top = ranks
       .takeOrdered(20)(Ordering.by { case (node, pr) => (-pr, node) })
       .map { case (node, pr) => (node, pr) }
     links.unpersist(blocking = true)
+    deg.unpersist(blocking = true)
     s.createDataFrame(top.toSeq).toDF("node", "pr")
   }
 
@@ -1791,13 +1817,23 @@ object Queries {
     * intermediate exceeds 2^40), keep hashes ≡ 0 (mod 64) — a 1/64
     * winnowing-style sample — and aggregate per doc: shingle count,
     * selected-fingerprint count, distinct fingerprints, min fingerprint.
-    * The hash expression string is generated ONCE ([[rollHashSql]]) and
-    * parsed by both engines, so the arithmetic cannot drift.
+    * The hash arithmetic lives in exactly two places pinned to each
+    * other: the SQL expression string generated ONCE ([[rollHashSql]],
+    * parsed by DuckDB) and the native `graft_rolling_fp` expression
+    * (value-identical per gram, asserted in GraftExpressionsSpec).
     *
-    * 100-TB shape: pure map-side explode + hash + one per-doc partial-agg
-    * shuffle; the 512-char cap bounds the blowup per row (64 shingles
-    * max), and the mod-64 selection is exactly how production fingerprint
-    * sets (MOSS/winnowing) stay sub-linear in document length. */
+    * The Spark side runs the native expression — one codegen'd pass per
+    * document emitting the winnowed array — then per-doc ARRAY algebra
+    * (size / array_distinct / array_min), no explode and no shuffle at
+    * all beyond the final orderBy: the exploded form re-cut the gram
+    * with an O(position) UTF8String substring per character once the
+    * winnow predicate was pushed below the projection (see
+    * [[winnowedFps]]), ~8× the honest cost.
+    *
+    * 100-TB shape: fully map-side per-document work; the 512-char cap
+    * bounds the per-row cost (≤505 shingles), and the mod-64 selection
+    * is exactly how production fingerprint sets (MOSS/winnowing) stay
+    * sub-linear in document length. */
   private def rollHashSql(gram: String): String =
     (2 to 8).foldLeft(s"CAST(ascii(substring($gram,1,1)) AS BIGINT)") {
       (acc, i) => s"(($acc * 257 + ascii(substring($gram,$i,1))) % 2147483647)"
@@ -1806,19 +1842,14 @@ object Queries {
   private val q55: Q = (s, d) =>
     t(s, d, "documents")
       .select(col("doc_id"), substring(col("text"), 1, 512).as("s"))
+      .where(length(col("s")) >= 8) // sub-8-char docs have no shingles
       .select(col("doc_id"),
-        explode(
-          when(length(col("s")) >= 8, expr("sequence(1, length(s) - 7)"))
-            .otherwise(array().cast("array<int>"))).as("i"),
-        col("s"))
-      .select(col("doc_id"), expr("substring(s, i, 8)").as("g"))
-      .select(col("doc_id"), expr(rollHashSql("g")).as("h"))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        sum(when(col("h") % 64 === 0, 1L).otherwise(0L)).as("n_fp"),
-        countDistinct(when(col("h") % 64 === 0, col("h"))).as("distinct_fp"),
-        coalesce(min(when(col("h") % 64 === 0, col("h"))), lit(-1L)).as("min_fp"))
+        (length(col("s")) - 7).cast("long").as("n_shingles"),
+        expr("graft_rolling_fp(s)").as("fps"))
+      .select(col("doc_id"), col("n_shingles"),
+        size(col("fps")).cast("long").as("n_fp"),
+        size(array_distinct(col("fps"))).cast("long").as("distinct_fp"),
+        coalesce(array_min(col("fps")), lit(-1L)).as("min_fp"))
       .orderBy("doc_id")
 
   private lazy val q55Sql =
@@ -2036,20 +2067,30 @@ object Queries {
     * hash over the first 512 chars with mod-64 winnowing-style selection,
     * deduplicated per document. Shared by q59 (duplicated passages) and
     * q60 (decontamination); [[fpCtes]] is the DuckDB mirror, built from
-    * the same [[rollHashSql]] expression string so the arithmetic cannot
-    * drift between engines. */
+    * the same [[rollHashSql]] expression string, and the native
+    * `graft_rolling_fp` expression is pinned value-identical to that
+    * formula (GraftExpressionsSpec), so the arithmetic cannot drift
+    * between engines.
+    *
+    * Fingerprinting runs through the native expression — one codegen'd
+    * pass per document emitting only the 1/64 winnowed skim — because
+    * the exploded-SQL form was a measured scale trap: Catalyst pushes
+    * the `h % 64 = 0` winnow below the gram projection, inlining the
+    * polynomial hash as nested `substring(substring(s,i,8),k,1)` calls
+    * whose inner gram copy is re-cut per character (an O(position)
+    * UTF8String codepoint scan each), turning 5k docs into ~12 s at
+    * sf0.1; the expression does the same arithmetic over the codepoint
+    * array in ~0.3 s. The result is localCheckpoint()ed: both consumers
+    * reference the fps table 2-4 times (count-filter + both sides of
+    * the pair join; eval + train slices) — at 100 TB this materialized
+    * skim is the "fingerprint index" a dedup pipeline persists once and
+    * reuses across audits, not a per-query luxury. */
   private def winnowedFps(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
-      .select(col("doc_id"), substring(col("text"), 1, 512).as("s"))
       .select(col("doc_id"),
-        explode(
-          when(length(col("s")) >= 8, expr("sequence(1, length(s) - 7)"))
-            .otherwise(array().cast("array<int>"))).as("i"),
-        col("s"))
-      .select(col("doc_id"), expr("substring(s, i, 8)").as("g"))
-      .select(col("doc_id"), expr(rollHashSql("g")).as("h"))
-      .where(col("h") % 64 === 0)
+        explode(expr("graft_rolling_fp(substring(text, 1, 512))")).as("h"))
       .select("doc_id", "h").distinct()
+      .localCheckpoint()
 
   private lazy val fpCtes: String =
     s"""s0 AS (SELECT doc_id, substring(text, 1, 512) AS s FROM documents),

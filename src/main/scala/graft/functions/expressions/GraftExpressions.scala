@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{Similarity, TextFunctions}
+import graft.functions.{Hashing, Similarity, TextFunctions}
 
 /** Native Catalyst expressions for the hot normalizers (SURVEY §7:
   * "promote the hot ones to Catalyst `UnaryExpression` with codegen").
@@ -67,6 +67,31 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
   override def prettyName: String = "graft_jaro_winkler"
 }
 
+/** Winnowed Rabin-Karp 8-gram fingerprints as a native array-returning
+  * expression (q55/q59/q60's hot path): one pass per document over the
+  * codepoint array, emitting only the `h % 64 == 0` skim — replaces a
+  * 64×-larger explode whose pushed-down winnow filter re-evaluated the
+  * polynomial hash through nested O(position) UTF8String substrings.
+  * Values are pinned to the SQL oracle's per-gram formula by
+  * [[graft.functions.Hashing.rollingFingerprints]]'s Scaladoc contract
+  * and asserted in GraftExpressionsSpec. */
+case class RollingFingerprintsExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Hashing.rollingFingerprints(
+        input.asInstanceOf[UTF8String].toString, 8, 64))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.Hashing$$.MODULE$$.rollingFingerprints($c.toString(), 8, 64))")
+  override protected def withNewChildInternal(
+      newChild: Expression): RollingFingerprintsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_rolling_fp"
+}
+
 /** SparkSessionExtensions injector for the graft native functions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -82,5 +107,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerExpr].getName, "graft_jaro_winkler"),
       (args: Seq[Expression]) => JaroWinklerExpr(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_rolling_fp"),
+      new ExpressionInfo(classOf[RollingFingerprintsExpr].getName, "graft_rolling_fp"),
+      (args: Seq[Expression]) => RollingFingerprintsExpr(args.head)))
   }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{Similarity, TextFunctions}
@@ -32,6 +33,46 @@ class GraftExpressionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(viaSql == pairs.map { case (a, b) => Similarity.jaroWinkler(a, b) })
     val withNull = spark.sql("SELECT graft_jaro_winkler(NULL, 'x')").collect()
     assert(withNull.head.isNullAt(0))
+  }
+
+  test("graft_rolling_fp equals the exploded rollHash SQL formula") {
+    import spark.implicits._
+    // strings exercising: shorter than one gram, exactly one gram,
+    // repeated content (duplicate fingerprints), multi-byte chars, and a
+    // long pseudo-random body (deterministic — no wall-clock RNG)
+    val inputs = Seq(
+      "short", "exactly8", "aaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+      "héllo wörld héllo wörld héllo wörld",
+      (1 to 600).map(i => ('a' + (i * 7919 % 26)).toChar).mkString)
+    val df = inputs.toDF("text").select(
+      substring($"text", 1, 512).as("s"))
+    val native = df
+      .selectExpr("graft_rolling_fp(s) AS fps")
+      .as[Seq[Long]].collect().toSeq
+    // the oracle-shaped pipeline: explode positions, cut the gram, hash
+    // it with the exact rollHashSql arithmetic (mirrored inline here)
+    val rollHashSql = (2 to 8).foldLeft(
+      "CAST(ascii(substring(g,1,1)) AS BIGINT)") { (acc, i) =>
+      s"(($acc * 257 + ascii(substring(g,$i,1))) % 2147483647)"
+    }
+    val exploded = df
+      .withColumn("idx", monotonically_increasing_id())
+      .select($"idx",
+        explode(
+          when(length($"s") >= 8, expr("sequence(1, length(s) - 7)"))
+            .otherwise(array().cast("array<int>"))).as("i"),
+        $"s")
+      .select($"idx", $"i", expr("substring(s, i, 8)").as("g"))
+      .select($"idx", $"i", expr(rollHashSql).as("h"))
+      .where($"h" % 64 === 0)
+      .orderBy("idx", "i")
+      .select("idx", "h")
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    inputs.indices.foreach { i =>
+      assert(native(i) == exploded.getOrElse(i.toLong, Seq.empty),
+        s"mismatch for input $i")
+    }
   }
 
   test("expressions stay inside WholeStageCodegen") {
