@@ -1691,8 +1691,16 @@ object Queries {
         (col("l_partkey").cast("long") * 2 + 1).as("p"))
       .distinct()
     import s.implicits._
+    // RDD-loop partitions sized to physical cores, not the 3× SQL
+    // shuffle fan-out the sessions configure: the inflation exists so
+    // AQE can coalesce SQL exchanges, but a fixed-size iterative RDD
+    // loop re-pays pure task overhead for it every round (measured
+    // 5.3 s vs 3.9 s warm at sf0.1 for 96 vs 32 partitions; the bench
+    // sessions set defaultParallelism = 3×cores, so /3 recovers the
+    // core count). A real deployment sizes this by data volume instead
+    // (~100k edges ≈ a few MB of (long,long,long) rows per task).
     val hp = new org.apache.spark.HashPartitioner(
-      s.sparkContext.defaultParallelism)
+      math.max(8, s.sparkContext.defaultParallelism / 3))
     val edges = pairs.as[(Long, Long)].rdd
       .flatMap { case (o, p) => Iterator((o, p), (p, o)) }
       .partitionBy(hp)
@@ -2188,11 +2196,13 @@ object Queries {
     * perplexity proxy) derives from these columns downstream.
     *
     * 100-TB shape: tokenize+explode map-side; one term-level partial-agg
-    * shuffle for the count table; the token→count join shuffles on term
-    * with BOTH sides pre-reduced per partition (partial aggregation), and
-    * the final per-doc agg is one shuffle. The count table is
-    * vocabulary-sized, not corpus-sized — but unbounded at web scale, so
-    * it is a shuffle join, deliberately NOT a broadcast. */
+    * shuffle for the count table; then the token→count join and one
+    * per-doc agg shuffle. The count table is vocabulary-sized, not
+    * corpus-sized — small enough to broadcast at bench SF (and Catalyst
+    * does, by stats) but unbounded at web scale, so the join carries NO
+    * broadcast hint: past the autoBroadcast threshold it degrades to a
+    * term-shuffle join with both sides pre-reduced per partition rather
+    * than OOMing the driver on a pinned broadcast. */
   private val q61: Q = (s, d) => {
     val toks = t(s, d, "documents")
       .select(col("doc_id"),

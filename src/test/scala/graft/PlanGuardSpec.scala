@@ -144,4 +144,62 @@ class PlanGuardSpec extends AnyFunSuite with SparkSessionTestWrapper {
           "the map-only chain picked up an extra exchange")
     }
   }
+
+  // ---- round-5 operator pins: q55 native fingerprints, q57-q60 shapes
+
+  test("q55 fingerprints via the native expression: no explode, no join") {
+    val p = sparkPlanOf("q55_fingerprint")
+    assert(p.toString.contains("graft_rolling_fp"),
+      "q55 no longer uses the native rolling-fingerprint expression")
+    val generates = p.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(generates.isEmpty,
+      "q55 regrew a per-gram explode — the 64×-larger row blowup the " +
+        "native array expression exists to avoid")
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"q55 grew a join: ${joins.map(_.nodeName)}")
+  }
+
+  test("q57 pairs come from a partitioned window, never a self-join") {
+    val p = sparkPlanOf("q57_sorted_neighborhood")
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty,
+      s"q57 grew a join — sorted-neighborhood pair generation must stay " +
+        s"lead()-window-based O(w·n): ${joins.map(_.nodeName)}")
+    assert(p.toString.contains("Window"), "q57 lost its window operator")
+  }
+
+  test("q59 joins read only the materialized fingerprint skim") {
+    // every q59 input is the localCheckpoint()ed winnowed-fps table — a
+    // plan with a parquet FileScan means a consumer re-derives the 64×
+    // gram explosion instead of reusing the fingerprint index
+    val p = sparkPlanOf("q59_dup_passages")
+    assert(!p.toString.contains("FileScan"),
+      "q59 reads raw parquet — the fps skim is no longer materialized/reused")
+  }
+
+  test("q60's eval fingerprint set joins as a broadcast") {
+    val p = sparkPlanOf("q60_decontaminate")
+    val bhj = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty,
+      "q60's benchmark-fingerprint join is no longer broadcast — at scale " +
+        "that shuffles the whole training corpus against a tiny eval set")
+    val smj = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, "q60 picked up a sort-merge join")
+  }
+
+  test("q58's final reduction is grouped by family, not a global scalar") {
+    val p = sparkPlanOf("q58_blocking_audit").toString
+    assert(p.contains("HashAggregate(keys=[family"),
+      "q58's audit reduction lost its family grouping (global-agg smell)")
+  }
 }
