@@ -2233,6 +2233,223 @@ object Queries {
       |FROM toks JOIN cnts USING (term)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+  /** GPT-style sequence packing — the step that turns a cleaned corpus
+    * into fixed-budget training sequences: concatenate documents in a
+    * deterministic order and cut every `budget`=2048 tokens, assigning
+    * each document the pack its first token lands in, plus a straddle
+    * flag for documents split across a pack boundary (how GPT-2/3-style
+    * pipelines actually pack — documents straddle; Brown et al. 2020
+    * §2.1). Token counts reuse q18's whitespace tokenization.
+    *
+    * 100-TB shape: packing is SHARDED — doc_id mod 32 picks a packing
+    * shard, the running-sum window is partitioned by shard, so no global
+    * window and no single writer; pack ids are per-shard (a real run
+    * emits (shard, pack_id) file names). The per-doc work after the one
+    * shard window is pure column algebra in exact BIGINTs. */
+  private val q62: Q = (s, d) => {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"),
+        (col("doc_id") % 32).as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("start_tok"),
+        expr("start_tok div 2048").as("pack_id"),
+        expr("CAST(CASE WHEN (start_tok + n_tokens - 1) div 2048 <> start_tok div 2048 " +
+          "THEN 1 ELSE 0 END AS BIGINT)").as("straddles"))
+      .orderBy("doc_id")
+  }
+
+  private val q62Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, doc_id % 32 AS shard,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |cum AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+      |  FROM toks)
+      |SELECT doc_id, shard, n_tokens, start_tok,
+      |  start_tok // 2048 AS pack_id,
+      |  CAST(CASE WHEN (start_tok + n_tokens - 1) // 2048 <> start_tok // 2048
+      |       THEN 1 ELSE 0 END AS BIGINT) AS straddles
+      |FROM cum ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+  /** Near-dup cluster CANONICAL SELECTION — the materialization step a
+    * dedup pipeline runs after clustering: q59's shared-fingerprint
+    * pairs become edges, connected components assign a cluster per doc
+    * (singletons cluster to themselves), and each cluster keeps exactly
+    * one canonical document — longest text, ties to the smallest doc_id
+    * (the C4/RefinedWeb-style keep rule). Output is the keep/drop list
+    * the corpus writer consumes.
+    *
+    * 100-TB shape: edges are the (already capped) q59 pair set, CC is
+    * the operator's O(log n) partitioner-reusing loop over edges only,
+    * and the keep rule is a per-cluster window — clusters are tiny (they
+    * are near-dup groups), so the window never sees a hot partition.
+    * The oracle recomputes the closure with a recursive CTE and the keep
+    * rule with the same window. */
+  private val q63: Q = (s, d) => {
+    import s.implicits._
+    val fps = winnowedFps(s, d)
+    val hcnt = fps.groupBy("h").agg(count(lit(1)).as("nd"))
+      .where(col("nd").between(2, 50))
+      .select("h")
+    val blocked = fps.join(hcnt, "h")
+    val edges = blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .agg(count(lit(1)).as("sfp"))
+      .where(col("sfp") >= 2)
+      .select(col("src"), col("dst")).as[graft.model.Edge]
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val comp = graft.operators.ConnectedComponents
+      // dedupEdges=false: the pair aggregation already emits unique
+      // (src,dst) rows, so the pre-loop distinct would be a pure extra
+      // shuffle (same argument as the ER pipeline's call site)
+      .assign(s, edges, docs.select(col("doc_id").as("id")), dedupEdges = false)
+      .select(col("id").as("doc_id"), col("comp").as("cluster"))
+    val wk = Window.partitionBy("cluster")
+      .orderBy(col("len").desc, col("doc_id"))
+    docs.join(comp, "doc_id")
+      .withColumn("rk", row_number().over(wk))
+      .select(col("doc_id"), col("cluster"),
+        when(col("rk") === 1, 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val q63Sql =
+    s"""WITH RECURSIVE $fpCtes,
+       |hc AS (SELECT h FROM fps GROUP BY h
+       |       HAVING count(*) BETWEEN 2 AND 50),
+       |bl AS (SELECT doc_id, h FROM fps JOIN hc USING (h)),
+       |e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst
+       |       FROM bl a JOIN bl b ON a.h = b.h AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |nodes(id) AS (SELECT doc_id FROM documents),
+       |reach(id, comp) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id),
+       |comp AS (SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS cluster
+       |         FROM reach GROUP BY id),
+       |ranked AS (
+       |  SELECT d.doc_id, c.cluster,
+       |    row_number() OVER (PARTITION BY c.cluster
+       |      ORDER BY length(d.text) DESC, d.doc_id) AS rk
+       |  FROM documents d JOIN comp c USING (doc_id))
+       |SELECT doc_id, cluster,
+       |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM ranked ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q64
+  /** Source-mixture sampling weights — the data-mixture step before
+    * training (The Pile / CCNet publish exactly these tables): per
+    * source, document and token counts, a uniform-share token cap
+    * (total div n_sources), and the tokens actually sampled under the
+    * cap — all exact BIGINTs; the sampling RATIO is the downstream
+    * sampled/tokens division, left to the consumer so no cross-engine
+    * float appears.
+    *
+    * 100-TB shape: one partial-agg shuffle to the per-source table
+    * (sources are few), then the corpus totals are a bounded scalar
+    * action over that TINY aggregate (q54/q58's pattern — two longs to
+    * the driver, never corpus-sized data). */
+  private val q64: Q = (s, d) => {
+    val per = t(s, d, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("tokens"))
+    val tot = per.agg(sum("tokens").as("tt"), count(lit(1)).as("ns")).head()
+    val cap = tot.getLong(0) / tot.getLong(1)
+    per.select(col("source"), col("docs"), col("tokens"),
+        lit(cap).as("cap_tokens"),
+        least(col("tokens"), lit(cap)).as("sampled_tokens"))
+      .orderBy("source")
+  }
+
+  private val q64Sql =
+    """WITH per AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS docs,
+      |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt,
+      |               CAST(count(*) AS BIGINT) AS ns FROM per)
+      |SELECT source, docs, tokens,
+      |  CAST(tt // ns AS BIGINT) AS cap_tokens,
+      |  CAST(least(tokens, tt // ns) AS BIGINT) AS sampled_tokens
+      |FROM per, tot ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+  /** MULTI-PASS sorted-neighborhood — the standard remedy for q57's
+    * documented blind spot (cross-boundary pairs): a second sweep under
+    * a rotated key (the reversed normalized key) and a per-pair count of
+    * how many sweeps proposed it. Pairs are canonicalized (a_id < b_id)
+    * so the two sweeps' proposals collide; n_passes = 2 marks the
+    * high-confidence core, n_passes = 1 the pairs only one ordering
+    * sees — exactly Hernández/Stolfo's multi-pass merge-purge.
+    *
+    * 100-TB shape: each sweep is q57's shape (one prefix-partition
+    * shuffle + lead() pair generation, O(w·n) output, no self-join);
+    * the union is reduced by one (a_id, b_id) partial-agg shuffle. */
+  private val q65: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"),
+        expr("substring(regexp_replace(lower(text), '[^a-z0-9]', ''), 1, 20)")
+          .as("nk"))
+    def sweep(key: org.apache.spark.sql.Column): DataFrame = {
+      val keyed = docs.select(col("doc_id"), key.as("k"))
+        .withColumn("pfx", expr("substring(k, 1, 2)"))
+      val w = Window.partitionBy("pfx").orderBy(col("k"), col("doc_id"))
+      keyed
+        .withColumn("nb", array(
+          lead(col("doc_id"), 1).over(w), lead(col("doc_id"), 2).over(w)))
+        .select(col("doc_id").as("x"), explode(col("nb")).as("y"))
+        .where(col("y").isNotNull)
+        .select(least(col("x"), col("y")).as("a_id"),
+          greatest(col("x"), col("y")).as("b_id"))
+    }
+    sweep(col("nk")).unionByName(sweep(reverse(col("nk"))))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_passes"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val q65Sql =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |    substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 20) AS nk
+      |  FROM documents),
+      |s1 AS (
+      |  SELECT doc_id, nk AS k, substring(nk, 1, 2) AS pfx,
+      |    lead(doc_id, 1) OVER w AS y1, lead(doc_id, 2) OVER w AS y2
+      |  FROM k WINDOW w AS (PARTITION BY substring(nk, 1, 2)
+      |                      ORDER BY nk, doc_id)),
+      |s2 AS (
+      |  SELECT doc_id, reverse(nk) AS k, substring(reverse(nk), 1, 2) AS pfx,
+      |    lead(doc_id, 1) OVER w AS y1, lead(doc_id, 2) OVER w AS y2
+      |  FROM k WINDOW w AS (PARTITION BY substring(reverse(nk), 1, 2)
+      |                      ORDER BY reverse(nk), doc_id)),
+      |pairs AS (
+      |  SELECT least(doc_id, y1) AS a_id, greatest(doc_id, y1) AS b_id
+      |  FROM s1 WHERE y1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT least(doc_id, y2), greatest(doc_id, y2) FROM s1 WHERE y2 IS NOT NULL
+      |  UNION ALL
+      |  SELECT least(doc_id, y1), greatest(doc_id, y1) FROM s2 WHERE y1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT least(doc_id, y2), greatest(doc_id, y2) FROM s2 WHERE y2 IS NOT NULL)
+      |SELECT a_id, b_id, count(*) AS n_passes
+      |FROM pairs GROUP BY a_id, b_id ORDER BY a_id, b_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q01_group_agg" -> q01,
     "q02_filter_project" -> q02,
@@ -2294,7 +2511,11 @@ object Queries {
     "q58_blocking_audit" -> q58,
     "q59_dup_passages" -> q59,
     "q60_decontaminate" -> q60,
-    "q61_rarity_score" -> q61)
+    "q61_rarity_score" -> q61,
+    "q62_seq_packing" -> q62,
+    "q63_canonical_keep" -> q63,
+    "q64_mixture_weights" -> q64,
+    "q65_snm_multipass" -> q65)
 
   val oracles: Map[String, String] = Map(
     "q01_group_agg" -> q01Sql,
@@ -2357,5 +2578,9 @@ object Queries {
     "q58_blocking_audit" -> q58Sql,
     "q59_dup_passages" -> q59Sql,
     "q60_decontaminate" -> q60Sql,
-    "q61_rarity_score" -> q61Sql)
+    "q61_rarity_score" -> q61Sql,
+    "q62_seq_packing" -> q62Sql,
+    "q63_canonical_keep" -> q63Sql,
+    "q64_mixture_weights" -> q64Sql,
+    "q65_snm_multipass" -> q65Sql)
 }
