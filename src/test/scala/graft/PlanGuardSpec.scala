@@ -202,4 +202,26 @@ class PlanGuardSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(p.contains("HashAggregate(keys=[family"),
       "q58's audit reduction lost its family grouping (global-agg smell)")
   }
+
+  test("q62 packing windows stay sharded and join-free") {
+    val p = sparkPlanOf("q62_seq_packing")
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"q62 grew a join: ${joins.map(_.nodeName)}")
+    // the running-sum window must be partitioned by shard — a global
+    // window would serialize the whole corpus through one task
+    assert(p.toString.contains("windowspecdefinition(shard"),
+      "q62's running-sum window lost its shard partitioning")
+  }
+
+  test("q65 multi-pass pairs stay window-generated and join-free") {
+    val p = sparkPlanOf("q65_snm_multipass")
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty,
+      s"q65 grew a join — both sweeps must stay lead()-window pair " +
+        s"generation: ${joins.map(_.nodeName)}")
+  }
 }
