@@ -2450,6 +2450,94 @@ object Queries {
       |SELECT a_id, b_id, count(*) AS n_passes
       |FROM pairs GROUP BY a_id, b_id ORDER BY a_id, b_id""".stripMargin
 
+  // ---------------------------------------------------------------- q66
+  /** C4-style quality GATE — not another score (q19) or stat table
+    * (q46) but the production keep/drop decision with a reason BITMAP,
+    * the artifact a filtering stage actually materializes (Raffel et
+    * al. 2020 §2.2 list exactly this rule-battery shape): bit 1 = code
+    * braces, bit 2 = "javascript" boilerplate, bit 4 = ellipsis spam
+    * (>2 "..." runs), bit 8 = digit-heavy (digits > alpha/2). Every
+    * counter is an exact integer from engine-portable char-class
+    * regexp_replace length arithmetic — no floats, no tokenizer
+    * dependency.
+    *
+    * 100-TB shape: pure map-side column algebra; the only shuffle is
+    * the final orderBy. The bitmap keeps one pass auditable: a
+    * downstream can compute per-rule rejection rates by bit-masking
+    * without re-running the battery. */
+  private val q66: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("ellipsis_ct",
+        expr("CAST((length(text) - length(regexp_replace(text, '\\\\.\\\\.\\\\.', ''))) div 3 AS BIGINT)"))
+      .withColumn("upper_ct",
+        length(regexp_replace(col("text"), "[^A-Z]", "")).cast("long"))
+      .withColumn("alpha_ct",
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long"))
+      .withColumn("digit_ct",
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long"))
+      .withColumn("reasons",
+        when(col("text").contains("{") || col("text").contains("}"), 1L)
+          .otherwise(0L) +
+        when(lower(col("text")).contains("javascript"), 2L).otherwise(0L) +
+        when(col("ellipsis_ct") > 2, 4L).otherwise(0L) +
+        when(col("digit_ct") * 2 > col("alpha_ct"), 8L).otherwise(0L))
+      .select(col("doc_id"), col("ellipsis_ct"), col("upper_ct"),
+        col("alpha_ct"), col("digit_ct"), col("reasons"),
+        when(col("reasons") === 0, 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+
+  private val q66Sql =
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    CAST((length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) // 3 AS BIGINT) AS ellipsis_ct,
+      |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS upper_ct,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha_ct,
+      |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit_ct
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, ellipsis_ct, upper_ct, alpha_ct, digit_ct,
+      |    CAST(CASE WHEN text LIKE '%{%' OR text LIKE '%}%' THEN 1 ELSE 0 END
+      |      + CASE WHEN lower(text) LIKE '%javascript%' THEN 2 ELSE 0 END
+      |      + CASE WHEN ellipsis_ct > 2 THEN 4 ELSE 0 END
+      |      + CASE WHEN digit_ct * 2 > alpha_ct THEN 8 ELSE 0 END AS BIGINT) AS reasons
+      |  FROM base)
+      |SELECT doc_id, ellipsis_ct, upper_ct, alpha_ct, digit_ct, reasons,
+      |  CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM scored ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q67
+  /** INCREMENTAL snapshot dedup — the crawl-ingest shape q60 is not: a
+    * new batch (doc_id mod 10 ∈ {8,9} plays the fresh snapshot) is
+    * checked against the EXISTING corpus's fingerprint index (mod 10 <
+    * 8), emitting per new doc its collision count and the earliest
+    * existing duplicate. Same [[winnowedFps]] index, opposite join
+    * economics: q60's eval set is tiny by construction and explicitly
+    * broadcast; here the index side is CORPUS-sized, so the join
+    * carries no hint — Catalyst broadcasts it while it fits (it does at
+    * bench SF) and degrades to an h-shuffle join with both sides
+    * hash-partitioned once a 10^12-doc index exceeds any threshold.
+    * This is the join a nightly crawl append runs against the
+    * accumulated index, incremental in the new batch's size. */
+  private val q67: Q = (s, d) => {
+    val fps = winnowedFps(s, d)
+    val existing = fps.where(col("doc_id") % 10 < 8)
+      .select(col("h"), col("doc_id").as("old_id"))
+    fps.where(col("doc_id") % 10 >= 8)
+      .join(existing, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("collisions"), min("old_id").as("min_dup_doc"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val q67Sql =
+    s"""WITH $fpCtes,
+       |ex AS (SELECT h, doc_id AS old_id FROM fps WHERE doc_id % 10 < 8)
+       |SELECT f.doc_id, count(*) AS collisions, min(ex.old_id) AS min_dup_doc
+       |FROM fps f JOIN ex USING (h)
+       |WHERE f.doc_id % 10 >= 8
+       |GROUP BY f.doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q01_group_agg" -> q01,
     "q02_filter_project" -> q02,
@@ -2515,7 +2603,9 @@ object Queries {
     "q62_seq_packing" -> q62,
     "q63_canonical_keep" -> q63,
     "q64_mixture_weights" -> q64,
-    "q65_snm_multipass" -> q65)
+    "q65_snm_multipass" -> q65,
+    "q66_quality_gate" -> q66,
+    "q67_incremental_dedup" -> q67)
 
   val oracles: Map[String, String] = Map(
     "q01_group_agg" -> q01Sql,
@@ -2582,5 +2672,7 @@ object Queries {
     "q62_seq_packing" -> q62Sql,
     "q63_canonical_keep" -> q63Sql,
     "q64_mixture_weights" -> q64Sql,
-    "q65_snm_multipass" -> q65Sql)
+    "q65_snm_multipass" -> q65Sql,
+    "q66_quality_gate" -> q66Sql,
+    "q67_incremental_dedup" -> q67Sql)
 }
