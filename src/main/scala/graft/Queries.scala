@@ -1689,7 +1689,6 @@ object Queries {
       .select(
         (col("l_orderkey").cast("long") * 2).as("o"),
         (col("l_partkey").cast("long") * 2 + 1).as("p"))
-      .distinct()
     import s.implicits._
     // RDD-loop partitions sized to physical cores, not the 3× SQL
     // shuffle fan-out the sessions configure: the inflation exists so
@@ -1701,9 +1700,19 @@ object Queries {
     // (~100k edges ≈ a few MB of (long,long,long) rows per task).
     val hp = new org.apache.spark.HashPartitioner(
       math.max(8, s.sparkContext.defaultParallelism / 3))
+    // Pair dedup is fused into the ONE src-hash shuffle: duplicates of
+    // an ordered pair always share a src partition, so a per-partition
+    // hash-set distinct after partitionBy replaces a whole extra
+    // distinct shuffle of the edge table (map-side distinct after
+    // co-partition; set size = partition volume, the same bound as the
+    // loop's rank maps).
     val edges = pairs.as[(Long, Long)].rdd
       .flatMap { case (o, p) => Iterator((o, p), (p, o)) }
       .partitionBy(hp)
+      .mapPartitions({ it =>
+        val seen = new java.util.HashSet[(Long, Long)]()
+        it.filter(e => seen.add(e))
+      }, preservesPartitioning = true)
     val deg = edges.mapValues(_ => 1L).reduceByKey(hp, _ + _) // no shuffle
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val links = edges.join(deg, hp) // (src, dst, deg) — no shuffle
