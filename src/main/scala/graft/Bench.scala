@@ -15,6 +15,15 @@ import org.apache.spark.sql.SparkSession
   *     north rule's N vs 4N scaling-efficiency target (BENCH.md):
   *     docs/sec at both levels + efficiency = (tputHigh / tputLow) / 4.
   *
+  * Default (no env knobs) = er_4x + catalog, sized to finish well inside
+  * the driver's time budget (~11-13 min quiet; BENCH_r04/r05 both died
+  * to timeouts running all four sections). SPARK_GRAFT_BENCH_FULL=1
+  * restores the full four-section run (er, er_4x, er_16x_probe,
+  * catalog); SPARK_GRAFT_SKIP_{ER,ER4X,ER16X,CATALOG}=1/0 force-skips /
+  * force-enables individual sections. The cumulative JSON line reprints
+  * on stdout after every section and from a SIGTERM shutdown hook, so a
+  * timeout kill still leaves the completed sections parseable.
+  *
   * Scaling protocol (full rationale + measurements in BENCH.md):
   *  - SAME shuffle partitioning at both levels — a spark-submit job keeps
   *    its partitioning when the executor count changes; letting partitions
@@ -183,6 +192,23 @@ object Bench {
     val waitBudget = new java.util.concurrent.atomic.AtomicLong(
       sys.env.getOrElse("SPARK_GRAFT_SCALE_WAIT_BUDGET_S", "420").toLong * 1000L)
 
+    // Section selection (VERDICT r05 #1): the full four-section run
+    // (~27 min quiet, worse contended) has outlived the driver's time
+    // budget two rounds running (BENCH_r04/r05 both rc=124 or crashed).
+    // The NO-KNOBS DEFAULT is now a run that finishes comfortably inside
+    // it: er_4x (the stronger of the two scaling blocks — bigger corpus,
+    // longer passes amortizing the serial floor) + the catalog,
+    // ~11-13 min quiet. SPARK_GRAFT_BENCH_FULL=1 restores all four
+    // sections; per-section SPARK_GRAFT_SKIP_X=1/0 overrides either
+    // default (0 force-enables a section the default omits).
+    val benchFull = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
+    def sectionOn(knob: String, inDefault: Boolean): Boolean =
+      sys.env.get(s"SPARK_GRAFT_SKIP_$knob") match {
+        case Some("1") => false
+        case Some("0") => true
+        case _         => benchFull || inDefault
+      }
+
     // Catalog section: each query timed min-of-2 (a mid-catalog co-tenant
     // burst then cannot masquerade as a per-query regression), behind the
     // same quiet-window gate as the ER passes. A crashing query is
@@ -193,7 +219,7 @@ object Bench {
     // state) enough to fatten the subsequent ER floors by ~8% (measured
     // full-run vs ER-only regimes), and the ER ratio is the headline
     // number — so the ER section gets the fresh JVM.
-    val skipCatalog = sys.env.get("SPARK_GRAFT_SKIP_CATALOG").contains("1")
+    val skipCatalog = !sectionOn("CATALOG", inDefault = true)
     def runCatalog(): Seq[(String, Double)] = if (skipCatalog) Seq.empty else {
     awaitQuiet(maxBusy, waitBudget)
     val spark = session(cpus, 3 * cpus)
@@ -349,9 +375,20 @@ object Bench {
     var catalogValue: Option[Double] = None
     var catalogQs: Option[String] = None
 
-    def jsonStr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", " ").replace("\r", " ").replace("\t", " ") + "\""
+    // mirror Verify's escaper (ADVICE r05): \u%04x for ALL chars < 0x20,
+    // not just \n\r\t — an ANSI escape or NUL in an exception message must
+    // not invalidate the artifact on exactly the error path fault
+    // isolation exists for
+    def jsonStr(s: String): String = {
+      val sb = new StringBuilder("\"")
+      s.foreach {
+        case '\\'            => sb.append("\\\\")
+        case '"'             => sb.append("\\\"")
+        case c if c < 0x20   => sb.append(f"\\u${c.toInt}%04x")
+        case c               => sb.append(c)
+      }
+      sb.append('"').toString
+    }
     // skipped/failed sections emit null, never a zero-valued block that
     // reads like a measurement (VERDICT r04 #5)
     def currentLine(): String = {
@@ -367,20 +404,36 @@ object Bench {
         (currentLine() + "\n").getBytes("UTF-8"))
       catch { case e: java.io.IOException =>
         System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    // BENCH_r05 (driver) died rc=124: the external timeout killed the JVM
+    // before the single end-of-run stdout JSON line printed, so the driver
+    // parsed nothing despite every section fix from round 4 working
+    // (VERDICT r05 #1). Two fixes: (a) reprint the CUMULATIVE bare-JSON
+    // line to stdout after every section — last-one-wins for a scraper
+    // that takes the final JSON line; (b) a shutdown hook that emits the
+    // current line on SIGTERM, so even a kill mid-section leaves the
+    // completed sections parseable on stdout.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      println(currentLine()); Console.out.flush(); writeOut()
+    }))
     def section(name: String)(body: => Unit): Unit = {
       try body
       catch { case e: Throwable =>
+        // one-line summary + top frames only (VERDICT r05 #7: raw stacks
+        // in the captured stderr read worse than the `errors` field)
         errors += s"$name: ${e.getClass.getName}: ${e.getMessage}"
-        System.err.println(s"[bench] section $name FAILED:")
-        e.printStackTrace()
+        System.err.println(
+          s"[bench] section $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        e.getStackTrace.take(5).foreach(f => System.err.println(s"[bench]   at $f"))
       }
       writeOut()
+      println(currentLine()); Console.out.flush()
     }
 
-    // SPARK_GRAFT_SKIP_ER=1 skips the base ER scaling block (catalog-only
-    // iteration), symmetric with SKIP_CATALOG/SKIP_ER4X/SKIP_ER16X — the
-    // section emits null, never a zero that reads like a measurement.
-    val skipEr = sys.env.get("SPARK_GRAFT_SKIP_ER").contains("1")
+    // Base ER scaling block (112k docs): OFF in the trimmed default —
+    // er_4x carries the scaling headline; SPARK_GRAFT_SKIP_ER=0 or
+    // BENCH_FULL=1 re-enables. Skipped sections emit null, never a zero
+    // that reads like a measurement.
+    val skipEr = !sectionOn("ER", inDefault = false)
     if (!skipEr) section("er") {
       erJson = runErScaling(erClusters, rounds)
       // progress to stderr (stdout stays the single JSON line): a captured
@@ -392,11 +445,15 @@ object Bench {
     // fewer rounds (the passes are ~2× longer; min-of-4 still dodges
     // bursts and the quiet-window gate handles plateaus). Skip with
     // SPARK_GRAFT_SKIP_ER4X=1 for quick iteration.
-    val skipEr4x = sys.env.get("SPARK_GRAFT_SKIP_ER4X").contains("1")
+    val skipEr4x = !sectionOn("ER4X", inDefault = true)
     if (!skipEr4x) section("er_4x") {
       val erClusters4x = sys.env.getOrElse("SPARK_GRAFT_ER_CLUSTERS_4X",
         (2 * erClusters).toString).toLong
-      val rounds4x = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS_4X", "4").toInt
+      // 3 rounds in the trimmed default (each ~105 s quiet at 224k docs);
+      // min-of-3 still dodges bursts and the quiet-window gate handles
+      // plateaus — the full run uses 4 (round-5 protocol)
+      val rounds4x = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS_4X",
+        if (benchFull) "4" else "3").toInt
       er4xJson = runErScaling(erClusters4x, rounds4x)
       System.err.println(s"[bench] er_4x block done: $er4xJson")
     }
@@ -407,14 +464,17 @@ object Bench {
     // throughput witness that the pipeline holds as data grows, NOT a
     // two-level efficiency measurement (16 threads saturate this box's
     // shared memory system — see "Why 4→16 threads" in BENCH.md).
-    val skipEr16x = sys.env.get("SPARK_GRAFT_SKIP_ER16X").contains("1")
+    val skipEr16x = !sectionOn("ER16X", inDefault = false)
     if (!skipEr16x) section("er_16x_probe") {
       val clusters16 = sys.env.getOrElse("SPARK_GRAFT_ER_CLUSTERS_16X",
         (4 * erClusters).toString).toLong
       val cores16 = sys.env.getOrElse("SPARK_GRAFT_ER_CORES_16X", "16").toInt
       val parts16 = 2 * cores16
       val corpusDir = graft.util.Scratch.unique("bench_corpus16") + "/webpages"
-      val setup = session(16, 48, aqe = !erAqeOff)
+      // setup/warmup at the MEASURED width (ADVICE r05: a hardcoded
+      // session(16,48) warmed a different width/partitioning than the
+      // measured passes when SPARK_GRAFT_ER_CORES_16X overrides)
+      val setup = session(cores16, parts16, aqe = !erAqeOff)
       graft.sources.WebPagesGen.webpages(setup, clusters16)
         .repartition(48).write.mode("overwrite").parquet(corpusDir)
       erPass(setup, corpusDir) // unmeasured warmup (first-touch on THIS corpus)

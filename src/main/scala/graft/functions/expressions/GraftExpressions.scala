@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
-  BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+  BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.types._
@@ -22,7 +22,11 @@ import graft.functions.{Hashing, Similarity, TextFunctions}
   *          graft_jaro_winkler(a, b)
   */
 case class AsciiFold(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  // registered SQL functions are user-reachable: declare the input
+  // contract so a wrong-typed argument is an ANALYSIS error, not a
+  // runtime ClassCastException / codegen compile failure (ADVICE r05)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any =
     UTF8String.fromString(
@@ -37,7 +41,8 @@ case class AsciiFold(child: Expression)
 
 /** Percent-encoding with urllib.parse.quote semantics (P9). */
 case class EscapeTitle(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any =
     UTF8String.fromString(
@@ -53,7 +58,8 @@ case class EscapeTitle(child: Expression)
 /** Jaro-Winkler similarity as a native binary expression (the north rule's
   * pairwise scorer, also exposed at the Column level). */
 case class JaroWinklerExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(l: Any, r: Any): Any =
     Similarity.jaroWinkler(
@@ -76,7 +82,8 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
   * [[graft.functions.Hashing.rollingFingerprints]]'s Scaladoc contract
   * and asserted in GraftExpressionsSpec. */
 case class RollingFingerprintsExpr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
