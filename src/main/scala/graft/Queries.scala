@@ -2151,7 +2151,14 @@ object Queries {
     * FINGERPRINT with the ≤50-doc cap, so each block yields ≤C(50,2)
     * pairs — never a doc×doc self-join — and the final per-pair count is
     * one shuffle over shared-fingerprint rows only. */
-  private val q59: Q = (s, d) => {
+  /** The capped duplicated-passage pair set — SHARED by q59 (reporting)
+    * and q63 (clustering input), so the join economics are one code path:
+    * per-fingerprint doc count capped to 2..50 (stop-fingerprint rule),
+    * pair join blocked BY FINGERPRINT (≤C(50,2) pairs per block, never
+    * doc×doc), pairs kept at ≥2 shared fingerprints. PlanGuardSpec pins
+    * the cap filter and the h-keyed join on q59's plan; q63 inherits the
+    * shape by construction. */
+  private def cappedDupPairs(s: SparkSession, d: String): DataFrame = {
     val fps = winnowedFps(s, d)
     val hcnt = fps.groupBy("h").agg(count(lit(1)).as("nd"))
       .where(col("nd").between(2, 50))
@@ -2160,11 +2167,16 @@ object Queries {
     blocked.as("a")
       .join(blocked.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("shared_fp"))
-      .where(col("shared_fp") >= 2)
-      .orderBy("a_id", "b_id")
+      .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .agg(count(lit(1)).as("sfp"))
+      .where(col("sfp") >= 2)
   }
+
+  private val q59: Q = (s, d) =>
+    cappedDupPairs(s, d)
+      .select(col("src").as("a_id"), col("dst").as("b_id"),
+        col("sfp").as("shared_fp"))
+      .orderBy("a_id", "b_id")
 
   private lazy val q59Sql =
     s"""WITH $fpCtes,
@@ -2320,17 +2332,7 @@ object Queries {
     * rule with the same window. */
   private val q63: Q = (s, d) => {
     import s.implicits._
-    val fps = winnowedFps(s, d)
-    val hcnt = fps.groupBy("h").agg(count(lit(1)).as("nd"))
-      .where(col("nd").between(2, 50))
-      .select("h")
-    val blocked = fps.join(hcnt, "h")
-    val edges = blocked.as("a")
-      .join(blocked.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-      .agg(count(lit(1)).as("sfp"))
-      .where(col("sfp") >= 2)
+    val edges = cappedDupPairs(s, d)
       .select(col("src"), col("dst")).as[graft.model.Edge]
     val docs = t(s, d, "documents")
       .select(col("doc_id"), length(col("text")).cast("long").as("len"))

@@ -224,4 +224,75 @@ class PlanGuardSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"q65 grew a join — both sweeps must stay lead()-window pair " +
         s"generation: ${joins.map(_.nodeName)}")
   }
+
+  // ---- round-6 pins (VERDICT r05 #3): the round-5 join-economics shapes
+
+  test("q52 as-of join stays a union-and-sweep: no join operator at all") {
+    // the naive as-of form is a range join (BroadcastNestedLoop,
+    // O(|events|×|quotes|) pair explosion); the shipped shape UNIONs the
+    // pre-reduced quote stream into the events and sweeps with one
+    // partitioned window — any join node here is a regression to the
+    // explosion
+    val p = sparkPlanOf("q52_asof_join")
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty,
+      s"q52 grew a join — the as-of must stay union-and-sweep: " +
+        s"${joins.map(_.nodeName)}")
+    assert(p.toString.contains("Window"), "q52 lost its sweep window")
+  }
+
+  test("q61/q67 joins stay HINT-FREE (Catalyst's stats-based choice)") {
+    // both join a per-doc stream against a table that is small at bench
+    // SF but CORPUS-sized at web scale (q61: the vocabulary count table;
+    // q67: the accumulated fingerprint index). A pinned broadcast hint
+    // would OOM the driver at 10^12 docs; hint-free, Catalyst broadcasts
+    // while the side fits and degrades to a shuffle join beyond — so the
+    // pin is the ABSENCE of any hint, not a join strategy
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, JoinHint}
+    for (q <- Seq("q61_rarity_score", "q67_incremental_dedup")) {
+      val lp = Queries.all(q)(spark, dir).queryExecution.optimizedPlan
+      val joins = lp.collect { case j: LJoin => j }
+      assert(joins.nonEmpty, s"$q lost its join entirely — pin is stale")
+      val hinted = joins.filter(_.hint != JoinHint.NONE)
+      assert(hinted.isEmpty,
+        s"$q carries a join hint (${hinted.map(_.hint)}) — these joins " +
+          "must stay hint-free so the plan degrades gracefully at scale")
+    }
+  }
+
+  test("q59/q63 pair derivation keeps the stop-fingerprint cap and h-keyed join") {
+    // q59 and q63 share ONE pair-derivation code path (cappedDupPairs);
+    // q59's plan is where it is visible (q63 consumes it inside the CC
+    // stage, whose output is materialized before the final plan). The
+    // 2..50 per-fingerprint doc-count cap must survive — without it the
+    // self-join degenerates to doc×doc on boilerplate fingerprints — and
+    // the pair join must key on the fingerprint h
+    val p = sparkPlanOf("q59_dup_passages")
+    val ps = p.toString
+    assert(raw"nd#\d+L? >= 2".r.findFirstIn(ps).isDefined &&
+      raw"nd#\d+L? <= 50".r.findFirstIn(ps).isDefined,
+      "the 2..50 stop-fingerprint cap filter vanished from the pair derivation")
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.exists(_.leftKeys.exists(_.toString.startsWith("h#"))),
+      "the pair self-join no longer keys on the fingerprint column h")
+  }
+
+  test("q63's final stage joins only cluster-sized inputs, never pairs again") {
+    // after CC the cluster assignment is materialized; the final plan may
+    // join docs⋈comp (and nothing else) — a join keyed on the fingerprint
+    // h here would mean the pair explosion got re-derived downstream
+    val p = sparkPlanOf("q63_canonical_keep")
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.size <= 2,
+      s"q63's final stage grew ${joins.size} joins: ${joins.map(_.nodeName)}")
+    assert(!joins.exists(_.leftKeys.exists(_.toString.startsWith("h#"))),
+      "q63's final stage re-joins on fingerprints — pair work must stay " +
+        "inside the capped derivation feeding CC")
+  }
 }
