@@ -1690,16 +1690,19 @@ object Queries {
         (col("l_orderkey").cast("long") * 2).as("o"),
         (col("l_partkey").cast("long") * 2 + 1).as("p"))
     import s.implicits._
-    // RDD-loop partitions sized to physical cores, not the 3× SQL
-    // shuffle fan-out the sessions configure: the inflation exists so
-    // AQE can coalesce SQL exchanges, but a fixed-size iterative RDD
-    // loop re-pays pure task overhead for it every round (measured
-    // 5.3 s vs 3.9 s warm at sf0.1 for 96 vs 32 partitions; the bench
-    // sessions set defaultParallelism = 3×cores, so /3 recovers the
-    // core count). A real deployment sizes this by data volume instead
-    // (~100k edges ≈ a few MB of (long,long,long) rows per task).
-    val hp = new org.apache.spark.HashPartitioner(
-      math.max(8, s.sparkContext.defaultParallelism / 3))
+    // Round partitions sized by EDGE VOLUME (the CC operator's rule via
+    // IterativeLoop.roundPartitioner, VERDICT r05 #8 — the cores
+    // heuristic is gone): ~32k directed-edge rows (~0.8 MB of
+    // (long,long,long)) per round task, capped by the session width.
+    // At sf0.1's ~1.2M directed edges this lands at ~38 partitions —
+    // the measured q53 optimum band (32 partitions beat the session's
+    // 96 by 35%; the 3× SQL fan-out exists for AQE coalescing, which a
+    // fixed-size RDD loop re-pays as pure task overhead every round) —
+    // and it GROWS with data volume instead of tracking local cores.
+    // The sizing count is one footer-level job over the 2-column scan.
+    val nDirectedEdges = 2L * pairs.count()
+    val hp = graft.operators.IterativeLoop.roundPartitioner(
+      nDirectedEdges, s.sparkContext.defaultParallelism, rowsPerTask = 32768L)
     // Pair dedup is fused into the ONE src-hash shuffle: duplicates of
     // an ordered pair always share a src partition, so a per-partition
     // hash-set distinct after partitionBy replaces a whole extra
@@ -1722,23 +1725,22 @@ object Queries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     var ranks = deg.mapValues(_ => 1000000L) // hp-partitioned
     for (_ <- 1 to 5) {
-      val sums = links
-        .zipPartitions(ranks) { (lIt, rIt) => // co-partitioned rank lookup
-          val rk = new java.util.HashMap[Long, Long]()
-          rIt.foreach { case (n, pr) => rk.put(n, pr) }
-          // getOrDefault, not get: ranks ⊇ deg keys holds today, but a
-          // refactor of deg/ranks must not turn into an unboxing NPE
-          // that kills the task (ADVICE r05)
-          lIt.map { case (src, dst, dg) => (dst, rk.getOrDefault(src, 0L) / dg) }
-        } // dst-keyed but src-laid-out: must not claim hp (see Scaladoc)
+      // contributions are dst-keyed but src-laid-out: lookupJoin NEVER
+      // claims hp, so the reduceByKey below pays its (semantically
+      // required) shuffle — the partitioner-lie trap this used to
+      // document in-line is now enforced by the shared helper
+      // (IterativeLoop.lookupJoinSameKey validates claims per row).
+      // getOrDefault, not get: ranks ⊇ deg keys holds today, but a
+      // refactor of deg/ranks must not turn into an unboxing NPE.
+      val sums = graft.operators.IterativeLoop
+        .lookupJoin(links, ranks, hp) { (l, rk) =>
+          Iterator((l._2, rk.getOrDefault(l._1, 0L) / l._3))
+        }
         .reduceByKey(hp, _ + _) // the round's ONE shuffle
-      ranks = deg
-        .zipPartitions(sums, preservesPartitioning = true) { (dIt, sIt) =>
-          val sm = new java.util.HashMap[Long, Long]()
-          sIt.foreach { case (n, c) => sm.put(n, c) }
-          dIt.map { case (n, _) => // absent key = isolated node at floor
-            (n, 150000L + (850000L * sm.getOrDefault(n, 0L)) / 1000000L)
-          }
+      ranks = graft.operators.IterativeLoop
+        .lookupJoinSameKey(deg, sums, hp) { (dn, sm) =>
+          // absent key = isolated node at floor
+          Iterator((dn._1, 150000L + (850000L * sm.getOrDefault(dn._1, 0L)) / 1000000L))
         }
     }
     val top = ranks

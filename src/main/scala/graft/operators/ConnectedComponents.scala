@@ -41,11 +41,13 @@ object ConnectedComponents {
     val sym = e.flatMap { case (s, d) => Iterator((s, d), (d, s)) }
       .partitionBy(hp)
     val mins = sym.reduceByKey(hp, (a: Long, b: Long) => math.min(a, b)) // no shuffle: same partitioner
-    sym.join(mins, hp) // no shuffle: both sides hp-partitioned
-      .flatMap { case (u, (v, nmin)) =>
-        val m = math.min(u, nmin)
-        if (v > u) Iterator((v, m)) else Iterator.empty
-      }
+    // co-partitioned hash-map lookup (shared IterativeLoop idiom) instead
+    // of an RDD cogroup join; the output is keyed by the NEIGHBOR v, so
+    // it must not (and does not) claim hp
+    IterativeLoop.lookupJoin(sym, mins, hp) { case ((u, v), rk) =>
+      val m = math.min(u, rk.getOrDefault(u, u))
+      if (v > u) Iterator((v, m)) else Iterator.empty
+    }
   }
 
   /** One small-star round: orient toward the smaller endpoint, connect each
@@ -55,11 +57,10 @@ object ConnectedComponents {
       if (s >= d) (s, d) else (d, s)
     }.partitionBy(hp)
     val mins = oriented.reduceByKey(hp, (a: Long, b: Long) => math.min(a, b)) // no shuffle
-    oriented.join(mins, hp) // no shuffle
-      .flatMap { case (u, (v, m)) =>
-        if (v != m) Iterator((v, m), (u, m)) else Iterator((u, m))
-      }
-      .distinct(hp.numPartitions)
+    IterativeLoop.lookupJoin(oriented, mins, hp) { case ((u, v), rk) =>
+      val m = rk.getOrDefault(u, u)
+      if (v != m) Iterator((v, m), (u, m)) else Iterator((u, m))
+    }.distinct(hp.numPartitions)
   }
 
   /** Deterministic edge-set fingerprint (count, xor of mixed hashes) for
@@ -145,8 +146,7 @@ object ConnectedComponents {
     // below by 1 and above by the session width, so at-scale behavior
     // (edges ≫ session width × 8k) is unchanged.
     val fp0 = fingerprint(e)
-    val hp = new HashPartitioner(
-      math.max(1, math.min(partitions.toLong, fp0._1 / 8192L + 1L).toInt))
+    val hp = IterativeLoop.roundPartitioner(fp0._1, partitions, rowsPerTask = 8192L)
     var prev = fp0
     var iter = 0
     var converged = false
