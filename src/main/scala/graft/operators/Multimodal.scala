@@ -12,10 +12,13 @@ import graft.functions.Hashing
   *
   * IMAGE dimensions are decoded FOR REAL: PNG IHDR and JPEG SOF markers
   * carry width×height in plain header bytes, no codec needed
-  * (`parseImageDims`). Audio/video decode remains a clearly-marked stub
-  * (`decodeStub` — the container ships no media codecs); everything around
-  * it — schema, batch shape, partition behavior, null handling — is real
-  * and tested.
+  * (`parseImageDims`). WAV audio metadata is likewise REAL: the RIFF
+  * fmt/data chunks carry sample rate, channels and declared payload size
+  * (`parseWavMeta`), hence duration, codec-free. Decode for the
+  * codec-REQUIRING formats (compressed audio, all video) remains a
+  * clearly-marked stub (`decodeStub` — the container ships no media
+  * codecs); everything around it — schema, batch shape, partition
+  * behavior, null handling — is real and tested.
   */
 object Multimodal {
 
@@ -33,7 +36,14 @@ object Multimodal {
       width: Int, // images/video; 0 otherwise
       height: Int,
       durationMs: Long, // audio/video; 0 otherwise
-      frameCount: Int) // video sample frames; 0 otherwise
+      frameCount: Int, // video sample frames; 0 otherwise
+      sampleRateHz: Int, // audio (real WAV header decode); 0 otherwise
+      channels: Int) // audio; 0 otherwise
+
+  /** Decoded per-row media metadata — the decode dispatch's result shape. */
+  final case class DecodedMeta(
+      width: Int, height: Int, durationMs: Long, frameCount: Int,
+      sampleRateHz: Int, channels: Int)
 
   val BatchSize = 64
 
@@ -99,16 +109,95 @@ object Multimodal {
     out.array()
   }
 
-  /** Decode dispatch: REAL header parse for images (PNG/JPEG), stub for
-    * the codec-requiring modalities. */
-  def decode(modality: String, bytes: Array[Byte]): (Int, Int, Long, Int) =
+  /** WAV (RIFF/WAVE) audio metadata, parsed from plain header bytes — the
+    * same codec-free header trick as PNG/JPEG (VERDICT r05 #5): the RIFF
+    * container is 'RIFF' size 'WAVE' then chunks of id(4)+size(LE32); the
+    * 'fmt ' chunk carries format/channels/sampleRate/byteRate (all LE) and
+    * the 'data' chunk declares the sample-payload size, from which
+    * durationMs = dataSize·1000/byteRate. The declared data size is used
+    * (not the bytes present): crawled WAVs are routinely truncated, and
+    * the header is the format's own statement of duration. Returns None
+    * on non-WAV bytes, a truncated header, or a nonsensical byteRate. */
+  final case class WavMeta(
+      sampleRateHz: Int, channels: Int, bitsPerSample: Int, durationMs: Long)
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL)) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def ascii4(b: Array[Byte], i: Int): String =
+    new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)), "US-ASCII")
+
+  def parseWavMeta(bytes: Array[Byte]): Option[WavMeta] = {
+    if (bytes == null || bytes.length < 44) return None
+    if (ascii4(bytes, 0) != "RIFF" || ascii4(bytes, 8) != "WAVE") return None
+    var sampleRate = 0; var chans = 0; var bits = 0; var byteRate = 0L
+    var dataSize = -1L
+    var i = 12
+    while (i + 8 <= bytes.length && (dataSize < 0 || sampleRate == 0)) {
+      val id = ascii4(bytes, i)
+      val size = le32(bytes, i + 4)
+      if (id == "fmt " && i + 24 <= bytes.length) {
+        chans = le16(bytes, i + 10)
+        sampleRate = le32(bytes, i + 12).toInt
+        byteRate = le32(bytes, i + 16)
+        bits = le16(bytes, i + 22)
+      } else if (id == "data") {
+        dataSize = size // declared, possibly beyond the bytes present
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (sampleRate <= 0 || byteRate <= 0 || dataSize < 0) None
+    else Some(WavMeta(sampleRate, chans, bits, dataSize * 1000L / byteRate))
+  }
+
+  /** Synthesize a canonical 44-byte WAV header (PCM fmt + data chunk
+    * declaring `nSamples` frames; no sample payload — [[parseWavMeta]]
+    * reads the declared size). The q68 fixture generator and the oracle
+    * reconstruct this byte-identically. */
+  def wavHeader(sampleRateHz: Int, channels: Int, bitsPerSample: Int, nSamples: Long): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val dataSize = nSamples * blockAlign
+    val byteRate = sampleRateHz.toLong * blockAlign
+    val out = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt((36L + dataSize).toInt)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRateHz)
+      .putInt(byteRate.toInt)
+      .putShort(blockAlign.toShort)
+      .putShort(bitsPerSample.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize.toInt)
+    out.array()
+  }
+
+  /** Decode dispatch: REAL header parse for images (PNG/JPEG) and WAV
+    * audio, stub for the codec-requiring modalities (compressed audio,
+    * all video). */
+  def decode(modality: String, bytes: Array[Byte]): DecodedMeta =
     modality match {
       case "image" =>
         parseImageDims(bytes)
-          .map { case (w, h) => (w, h, 0L, 0) }
-          .getOrElse(decodeStub(modality, bytes))
-      case _ => decodeStub(modality, bytes)
+          .map { case (w, h) => DecodedMeta(w, h, 0L, 0, 0, 0) }
+          .getOrElse(stubMeta(modality, bytes))
+      case "audio" =>
+        parseWavMeta(bytes)
+          .map(m => DecodedMeta(0, 0, m.durationMs, 0, m.sampleRateHz, m.channels))
+          .getOrElse(stubMeta(modality, bytes))
+      case _ => stubMeta(modality, bytes)
     }
+
+  private def stubMeta(modality: String, bytes: Array[Byte]): DecodedMeta = {
+    val (w, h, dur, frames) = decodeStub(modality, bytes)
+    DecodedMeta(w, h, dur, frames, 0, 0)
+  }
 
   /** STUB decode: deterministic pseudo-metadata from the content hash.
     * Replace with a real codec (audio/video; unparseable images) in
@@ -143,7 +232,7 @@ object Multimodal {
         // call (the Arrow-record-batch shape of mapInPandas)
         batch.iterator.map { m =>
           val bytes = if (m.bytes == null) Array.empty[Byte] else m.bytes
-          val (w, hgt, dur, frames) = decode(m.modality, bytes)
+          val meta = decode(m.modality, bytes)
           md5.reset()
           val hex = md5.digest(bytes).map(b => f"${b & 0xff}%02x").mkString
           md5.reset()
@@ -153,7 +242,8 @@ object Multimodal {
             .map(b => f"${b & 0xff}%02x").mkString
           MediaFeatures(m.id, m.modality, bytes.length.toLong,
             Hashing.hash64(bytes.length.toLong, bytes.take(8).map(_.toLong).sum),
-            hex, hexFp, w, hgt, dur, frames)
+            hex, hexFp, meta.width, meta.height, meta.durationMs,
+            meta.frameCount, meta.sampleRateHz, meta.channels)
         }
       }
     }
