@@ -2119,10 +2119,7 @@ object Queries {
   private def winnowedFps(s: SparkSession, d: String): DataFrame = {
     fpsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     fpsCache.computeIfAbsent((s, d), _ =>
-      t(s, d, "documents")
-        .select(col("doc_id"),
-          explode(expr("graft_rolling_fp(substring(text, 1, 512))")).as("h"))
-        .select("doc_id", "h").distinct()
+      graft.operators.FingerprintDedup.skim(t(s, d, "documents"))
         .localCheckpoint())
   }
 
@@ -2160,19 +2157,8 @@ object Queries {
     * doc×doc), pairs kept at ≥2 shared fingerprints. PlanGuardSpec pins
     * the cap filter and the h-keyed join on q59's plan; q63 inherits the
     * shape by construction. */
-  private def cappedDupPairs(s: SparkSession, d: String): DataFrame = {
-    val fps = winnowedFps(s, d)
-    val hcnt = fps.groupBy("h").agg(count(lit(1)).as("nd"))
-      .where(col("nd").between(2, 50))
-      .select("h")
-    val blocked = fps.join(hcnt, "h")
-    blocked.as("a")
-      .join(blocked.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-      .agg(count(lit(1)).as("sfp"))
-      .where(col("sfp") >= 2)
-  }
+  private def cappedDupPairs(s: SparkSession, d: String): DataFrame =
+    graft.operators.FingerprintDedup.cappedPairs(winnowedFps(s, d))
 
   private val q59: Q = (s, d) =>
     cappedDupPairs(s, d)
@@ -2632,6 +2618,91 @@ object Queries {
        |  md5(hex(bytes)) AS content_fp
        |FROM b ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q69
+  /** The END-TO-END corpus build ([[graft.pipeline.CorpusBuild]]): q66's
+    * quality gate → fingerprint index → q63's canonical keep/drop → q60's
+    * decontamination → q62's packing (q64's mixture committed alongside),
+    * each stage a resumable SnapshotStore snapshot. The catalog entry runs
+    * the whole pipeline against a fresh scratch store and returns the
+    * final packed table; the oracle recomputes the ENTIRE composition —
+    * gate battery, winnowed fingerprints, capped pairs, recursive-CTE
+    * connected components, keep rule, eval-collision exclusion, sharded
+    * packing — as one SQL chain, so a drift in ANY stage breaks the hash.
+    *
+    * 100-TB shape: the composition of the stages' pinned shapes (see
+    * CorpusBuild's Scaladoc); every stage boundary is a committed table,
+    * which is also what makes the run resumable after a mid-stage kill
+    * (CorpusBuildSpec). */
+  private val q69: Q = (s, d) => {
+    val store = new graft.sources.SnapshotStore(
+      s, graft.util.Scratch.unique("corpus_build"))
+    graft.pipeline.CorpusBuild.run(s, store, t(s, d, "documents"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val q69Sql =
+    s"""WITH RECURSIVE base AS (
+       |  SELECT doc_id, source, text,
+       |    CAST((length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) // 3 AS BIGINT) AS ellipsis_ct,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha_ct,
+       |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit_ct
+       |  FROM documents),
+       |gate AS (
+       |  SELECT doc_id, source, text FROM base
+       |  WHERE NOT (text LIKE '%{%' OR text LIKE '%}%')
+       |    AND lower(text) NOT LIKE '%javascript%'
+       |    AND ellipsis_ct <= 2
+       |    AND digit_ct * 2 <= alpha_ct),
+       |s0 AS (SELECT doc_id, substring(text, 1, 512) AS s FROM gate),
+       |grams AS (
+       |  SELECT doc_id, substring(s, CAST(i AS INTEGER), 8) AS g
+       |  FROM (SELECT doc_id, s,
+       |          unnest(range(1, greatest(length(s) - 6, 1))) AS i FROM s0)),
+       |fps AS (
+       |  SELECT DISTINCT doc_id, h
+       |  FROM (SELECT doc_id, ${rollHashSql("g")} AS h FROM grams)
+       |  WHERE h % 64 = 0),
+       |hc AS (SELECT h FROM fps GROUP BY h
+       |       HAVING count(*) BETWEEN 2 AND 50),
+       |bl AS (SELECT doc_id, h FROM fps JOIN hc USING (h)),
+       |e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst
+       |       FROM bl a JOIN bl b ON a.h = b.h AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |nodes(id) AS (SELECT doc_id FROM gate),
+       |reach(id, comp) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id),
+       |comp AS (SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS cluster
+       |         FROM reach GROUP BY id),
+       |ranked AS (
+       |  SELECT g.doc_id,
+       |    row_number() OVER (PARTITION BY c.cluster
+       |      ORDER BY length(g.text) DESC, g.doc_id) AS rk
+       |  FROM gate g JOIN comp c USING (doc_id)),
+       |keeps AS (SELECT doc_id FROM ranked WHERE rk = 1),
+       |ev AS (SELECT DISTINCT h FROM fps WHERE doc_id % 97 = 0),
+       |contaminated AS (SELECT DISTINCT f.doc_id FROM fps f JOIN ev USING (h)
+       |                 WHERE f.doc_id % 97 <> 0),
+       |survivors AS (
+       |  SELECT g.doc_id, g.source,
+       |    CAST(len(regexp_split_to_array(trim(g.text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM gate g JOIN keeps USING (doc_id)
+       |  WHERE g.doc_id % 97 <> 0
+       |    AND g.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |cum AS (
+       |  SELECT doc_id, doc_id % 32 AS shard, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY doc_id % 32
+       |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS BIGINT) AS start_tok
+       |  FROM survivors)
+       |SELECT doc_id, shard, n_tokens, start_tok,
+       |  start_tok // 2048 AS pack_id,
+       |  CAST(CASE WHEN (start_tok + n_tokens - 1) // 2048 <> start_tok // 2048
+       |       THEN 1 ELSE 0 END AS BIGINT) AS straddles
+       |FROM cum ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q01_group_agg" -> q01,
     "q02_filter_project" -> q02,
@@ -2700,7 +2771,8 @@ object Queries {
     "q65_snm_multipass" -> q65,
     "q66_quality_gate" -> q66,
     "q67_incremental_dedup" -> q67,
-    "q68_wav_decode" -> q68)
+    "q68_wav_decode" -> q68,
+    "q69_corpus_build" -> q69)
 
   val oracles: Map[String, String] = Map(
     "q01_group_agg" -> q01Sql,
@@ -2770,5 +2842,6 @@ object Queries {
     "q65_snm_multipass" -> q65Sql,
     "q66_quality_gate" -> q66Sql,
     "q67_incremental_dedup" -> q67Sql,
-    "q68_wav_decode" -> q68Sql)
+    "q68_wav_decode" -> q68Sql,
+    "q69_corpus_build" -> q69Sql)
 }

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.CorpusBuild
+import graft.sources.SnapshotStore
+
+/** End-to-end corpus build (VERDICT r05 #6): stage composition invariants
+  * and the kill-after-stage resume discipline (same as
+  * EntityResolutionSpec's). Value-level correctness of the composition is
+  * the q69 oracle's job; this spec pins the PIPELINE properties — commit
+  * protocol, resume identity, and cross-stage consistency. */
+class CorpusBuildSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private val docsPath = "/root/testdata/sf0.001/documents.parquet"
+  private val stages =
+    Seq("gated", "fingerprints", "canonical", "survivors", "packed", "mixture")
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def packedRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+
+  test("full run commits every stage; output respects the stage contracts") {
+    val out = tmpDir("corpus-build-")
+    val store = new SnapshotStore(spark, out)
+    val docs = spark.read.parquet(docsPath)
+    val packed = CorpusBuild.run(spark, store, docs)
+    stages.foreach(s => assert(store.exists(s), s"stage $s not committed"))
+
+    val rows = packedRows(packed)
+    assert(rows.nonEmpty)
+    val ids = rows.map(_._1).toSet
+    // survivors ⊆ gated keeps, never the eval slice
+    assert(rows.forall(_._1 % 97 != 0), "an eval-slice doc reached the corpus")
+    val gatedIds = store.read("gated").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(gatedIds), "a packed doc never passed the gate")
+    // canonical drops are really gone: every cluster contributes ≤1 doc
+    val keeps = store.read("canonical").where("keep = 1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(keeps), "a packed doc was not its cluster's canonical")
+    // pack tiling: per shard, start_tok is the exact running sum and the
+    // straddle flag matches the boundary arithmetic
+    rows.groupBy(_._2).foreach { case (_, shardRows) =>
+      var cum = 0L
+      shardRows.sortBy(_._1).foreach { case (_, _, n, start, pack, straddle) =>
+        assert(start == cum, "start_tok is not the shard running sum")
+        assert(pack == start / 2048)
+        assert(straddle == (if ((start + n - 1) / 2048 != start / 2048) 1L else 0L))
+        cum += n
+      }
+    }
+    // mixture is committed over the FINAL corpus: token totals agree
+    val mixTokens = store.read("mixture").selectExpr("sum(tokens)").head().getLong(0)
+    assert(mixTokens == rows.map(_._3).sum,
+      "mixture token total diverges from the packed corpus")
+  }
+
+  test("resume: a kill after any stage replays committed work identically") {
+    val out = tmpDir("corpus-resume-")
+    val store = new SnapshotStore(spark, out)
+    val docs = spark.read.parquet(docsPath)
+    val first = packedRows(CorpusBuild.run(spark, store, docs))
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate a kill after 'canonical': later snapshots vanish, earlier
+    // ones must replay byte-identically (their manifests untouched)
+    val manifestBefore = store.manifest("fingerprints").get
+    Seq("survivors", "packed", "mixture").foreach { s =>
+      fs.delete(new org.apache.hadoop.fs.Path(out, s), true)
+    }
+    val second = packedRows(CorpusBuild.run(spark, store, docs))
+    assert(first.toSeq == second.toSeq)
+    assert(store.manifest("fingerprints").get == manifestBefore,
+      "a committed upstream stage was recomputed on resume")
+    // manifests carry counters + per-partition lineage rows
+    val m = store.manifest("packed").get
+    assert(m.contains("\"rows\":") && m.contains("\"partitions\":"))
+  }
+}
