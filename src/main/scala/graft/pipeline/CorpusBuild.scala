@@ -82,20 +82,28 @@ object CorpusBuild {
     }
 
     // [canonical]: capped pairs → CC → longest-text-wins (q63's rule);
-    // pair-agg output is unique (src,dst), so CC skips its pre-distinct
-    val canonical = store.getOrCreate("canonical") {
-      val edges = FingerprintDedup.cappedPairs(fps)
-        .select(col("src"), col("dst")).as[graft.model.Edge]
-      val comp = ConnectedComponents
-        .assign(spark, edges, gated.select(col("doc_id").as("id")), dedupEdges = false)
-        .select(col("id").as("doc_id"), col("comp").as("cluster"))
-      val wk = Window.partitionBy("cluster")
-        .orderBy(col("text_len").desc, col("doc_id"))
-      gated.select("doc_id", "text_len").join(comp, "doc_id")
-        .withColumn("rk", row_number().over(wk))
-        .select(col("doc_id"), col("cluster"),
-          when(col("rk") === 1, 1L).otherwise(0L).as("keep"))
-    }
+    // pair-agg output is unique (src,dst), so CC skips its pre-distinct.
+    // assignManaged: the snapshot commit below is the single
+    // materialization, so assign()'s internal parquet decoupling
+    // roundtrip would be a redundant second write (EntityResolution's
+    // idiom); the CC checkpoint is released once the commit returns
+    var relCC: () => Unit = () => ()
+    val canonical =
+      try store.getOrCreate("canonical") {
+        val edges = FingerprintDedup.cappedPairs(fps)
+          .select(col("src"), col("dst")).as[graft.model.Edge]
+        val (assigned, rel) = ConnectedComponents.assignManaged(
+          spark, edges, gated.select(col("doc_id").as("id")), dedupEdges = false)
+        relCC = rel
+        val comp = assigned
+          .select(col("id").as("doc_id"), col("comp").as("cluster"))
+        val wk = Window.partitionBy("cluster")
+          .orderBy(col("text_len").desc, col("doc_id"))
+        gated.select("doc_id", "text_len").join(comp, "doc_id")
+          .withColumn("rk", row_number().over(wk))
+          .select(col("doc_id"), col("cluster"),
+            when(col("rk") === 1, 1L).otherwise(0L).as("keep"))
+      } finally relCC()
 
     // [survivors]: canonical keeps, minus the eval slice itself and every
     // training doc colliding with it (broadcast eval set — q60's shape)
