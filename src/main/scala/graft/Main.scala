@@ -101,10 +101,24 @@ object Main {
       val nClusters = rest.headOption.map(_.toLong).getOrElse(1000L)
       println(graft.pipeline.EntityResolution.runAndReport(spark, outDir, nClusters))
 
+    case "corpus" :: docsParquet :: outDir :: Nil =>
+      // end-to-end training-corpus build over a (doc_id, source, text)
+      // parquet table; resumable — rerunning with the same outDir replays
+      // committed stages (kill mid-stage, rerun, it picks up where it died)
+      val store = new graft.sources.SnapshotStore(spark, outDir)
+      val packed = graft.pipeline.CorpusBuild.run(
+        spark, store, spark.read.parquet(docsParquet))
+      val nDocs = packed.count()
+      val nPacks = packed.selectExpr("count(DISTINCT (shard, pack_id))").head().getLong(0)
+      Seq("gated", "fingerprints", "canonical", "survivors", "packed", "mixture")
+        .foreach(s => println(s"$s: ${store.manifest(s).getOrElse("?")}"))
+      println(s"corpus: $nDocs docs in $nPacks packs")
+
     case other =>
       System.err.println(s"unknown args: ${other.mkString(" ")}")
       System.err.println(
-        "usage: graft.Main extract|print <page.json>... | resolve <outDir> [nClusters]")
+        "usage: graft.Main extract|print <page.json>... | resolve <outDir> [nClusters]" +
+          " | corpus <documents.parquet> <outDir>")
       sys.exit(2)
   }
 }
