@@ -94,7 +94,9 @@ class DocsClaimsSpec extends AnyFunSuite {
   }
 
   test("rule 4: efficiency claims attributed to a BENCH artifact match that artifact") {
-    val benchCite = raw"(BENCH_r[0-9A-Za-z._-]*?\.json)".r
+    // case-insensitive: builder artifacts are lowercase bench_r*.json —
+    // they carry the same accountability as the driver's BENCH_r*.json
+    val benchCite = raw"((?i:bench)_r[0-9A-Za-z._-]*?\.json)".r
     // the claimed number is the nearest d.ddd within 40 chars BEFORE the
     // citation — the "**0.814** (`BENCH_r3-gated.json`)" shape; lines
     // where no number precedes the citation carry no per-artifact claim
