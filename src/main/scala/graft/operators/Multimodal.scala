@@ -136,20 +136,24 @@ object Multimodal {
     if (ascii4(bytes, 0) != "RIFF" || ascii4(bytes, 8) != "WAVE") return None
     var sampleRate = 0; var chans = 0; var bits = 0; var byteRate = 0L
     var dataSize = -1L
-    var i = 12
+    // the walk index is a LONG: a (hostile) ~4 GB declared chunk size
+    // overflows an int step to negative — an infinite loop or a negative
+    // array index on crawled garbage (caught by the fuzz spec)
+    var i = 12L
     while (i + 8 <= bytes.length && (dataSize < 0 || sampleRate == 0)) {
-      val id = ascii4(bytes, i)
-      val size = le32(bytes, i + 4)
+      val at = i.toInt
+      val id = ascii4(bytes, at)
+      val size = le32(bytes, at + 4)
       if (id == "fmt " && i + 24 <= bytes.length) {
-        chans = le16(bytes, i + 10)
-        sampleRate = le32(bytes, i + 12).toInt
-        byteRate = le32(bytes, i + 16)
-        bits = le16(bytes, i + 22)
+        chans = le16(bytes, at + 10)
+        sampleRate = le32(bytes, at + 12).toInt
+        byteRate = le32(bytes, at + 16)
+        bits = le16(bytes, at + 22)
       } else if (id == "data") {
         dataSize = size // declared, possibly beyond the bytes present
       }
       // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size.toInt + (size.toInt & 1)
+      i += 8L + size + (size & 1L)
     }
     if (sampleRate <= 0 || byteRate <= 0 || dataSize < 0) None
     else Some(WavMeta(sampleRate, chans, bits, dataSize * 1000L / byteRate))

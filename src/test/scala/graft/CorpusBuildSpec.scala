@@ -63,6 +63,19 @@ class CorpusBuildSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "mixture token total diverges from the packed corpus")
   }
 
+  test("output is invariant to input partitioning") {
+    // every stage is either map-side, keyed, or a key-partitioned window
+    // ordered by doc_id — so how the input happens to be split must not
+    // show through (at scale the corpus arrives at whatever partitioning
+    // the upstream writer chose)
+    val docs = spark.read.parquet(docsPath)
+    val a = packedRows(CorpusBuild.run(
+      spark, new SnapshotStore(spark, tmpDir("corpus-p7-")), docs.repartition(7)))
+    val b = packedRows(CorpusBuild.run(
+      spark, new SnapshotStore(spark, tmpDir("corpus-p3-")), docs.repartition(3)))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("resume: a kill after any stage replays committed work identically") {
     val out = tmpDir("corpus-resume-")
     val store = new SnapshotStore(spark, out)
