@@ -281,6 +281,34 @@ class PlanGuardSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "the pair self-join no longer keys on the fingerprint column h")
   }
 
+  test("q68 stays a map-only decode chain: no join, no mid-chain shuffle") {
+    // header decode is per-row work over the documents scan; the only
+    // exchange the semantics allow is the final presentation sort
+    val p = sparkPlanOf("q68_wav_decode")
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"q68 grew a join: ${joins.map(_.nodeName)}")
+    val exchanges = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size <= 1,
+      s"q68 plans ${exchanges.size} shuffles — the decode chain must stay map-only")
+  }
+
+  test("q69's returned plan is the materialized packed table, not re-derivation") {
+    // the pipeline's work happens inside its snapshot stages; the catalog
+    // entry must return a plan over the COMMITTED packed parquet — a join
+    // or aggregate here means packing got re-derived outside the store
+    val p = sparkPlanOf("q69_corpus_build")
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"q69's final plan grew a join: ${joins.map(_.nodeName)}")
+    assert(p.toString.contains("Scan parquet") || p.toString.contains("FileScan"),
+      "q69 no longer reads the committed packed snapshot")
+  }
+
   test("q63's final stage joins only cluster-sized inputs, never pairs again") {
     // after CC the cluster assignment is materialized; the final plan may
     // join docs⋈comp (and nothing else) — a join keyed on the fingerprint
