@@ -99,6 +99,80 @@ case class RollingFingerprintsExpr(child: Expression)
   override def prettyName: String = "graft_rolling_fp"
 }
 
+/** One-pass char-class counters for the C4-style quality gate (q66 /
+  * CorpusBuild) — the scalar kernel behind [[CharClassCountsExpr]].
+  * Counts over the UTF-8 BYTES: every counted class is pure ASCII, and
+  * ASCII bytes never occur inside multi-byte UTF-8 sequences
+  * (continuation bytes are ≥ 0x80), so byte counts equal the
+  * codepoint-level `length(regexp_replace(text, '[^X]', ''))` counts the
+  * gate formerly computed with FOUR full rewritten copies of every
+  * document (VERDICT r06 #5/#6 — three transient copies per doc at
+  * 100 TB just to count characters). Value equivalence with the regex
+  * battery is asserted in GraftExpressionsSpec. */
+object CharClass {
+  private val Js = "javascript".getBytes("US-ASCII")
+
+  /** (ellipsis_ct, upper_ct, alpha_ct, digit_ct, has_brace, has_js) —
+    *  - ellipsis_ct: leftmost non-overlapping "..." matches (the
+    *    `(len - len(replace(text,'...',''))) div 3` identity);
+    *  - upper/alpha/digit: [A-Z] / [A-Za-z] / [0-9] char counts;
+    *  - has_brace: any '{' or '}' (q66's bit-1 predicate);
+    *  - has_js: case-insensitive ASCII "javascript" substring — equal to
+    *    `lower(text).contains("javascript")` (no Unicode lowering maps
+    *    into the pattern's letters: the only single-char ASCII-producing
+    *    lowering, U+212A→k, is not in "javascript"). */
+  def counts(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = s.getBytes
+    val n = b.length
+    var ell = 0L; var up = 0L; var al = 0L; var dig = 0L
+    var brace = 0L; var js = 0L
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (c == '.' && i + 2 < n && b(i + 1) == '.' && b(i + 2) == '.') {
+        ell += 1; i += 3
+      } else {
+        if (c >= 'A' && c <= 'Z') { up += 1; al += 1 }
+        else if (c >= 'a' && c <= 'z') al += 1
+        else if (c >= '0' && c <= '9') dig += 1
+        else if (c == '{' || c == '}') brace = 1L
+        if (js == 0L && (c | 0x20) == 'j' && i + Js.length <= n) {
+          var k = 1
+          while (k < Js.length && (b(i + k) | 0x20) == Js(k)) k += 1
+          if (k == Js.length) js = 1L
+        }
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](ell, up, al, dig, brace, js))
+  }
+}
+
+/** `graft_charclass_counts(text)` → struct of the six gate counters in
+  * ONE codegen'd pass over the document bytes (the q55 native-expression
+  * pattern applied to the quality gate). */
+case class CharClassCountsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("ellipsis_ct", LongType, nullable = false),
+    StructField("upper_ct", LongType, nullable = false),
+    StructField("alpha_ct", LongType, nullable = false),
+    StructField("digit_ct", LongType, nullable = false),
+    StructField("has_brace", LongType, nullable = false),
+    StructField("has_js", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    CharClass.counts(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.CharClass$$.MODULE$$.counts($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): CharClassCountsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_charclass_counts"
+}
+
 /** SparkSessionExtensions injector for the graft native functions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -118,5 +192,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_rolling_fp"),
       new ExpressionInfo(classOf[RollingFingerprintsExpr].getName, "graft_rolling_fp"),
       (args: Seq[Expression]) => RollingFingerprintsExpr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_charclass_counts"),
+      new ExpressionInfo(classOf[CharClassCountsExpr].getName, "graft_charclass_counts"),
+      (args: Seq[Expression]) => CharClassCountsExpr(args.head)))
   }
 }

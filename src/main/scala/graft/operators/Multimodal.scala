@@ -47,6 +47,43 @@ object Multimodal {
 
   val BatchSize = 64
 
+  // Hex tables for the per-row fingerprint encoding. The original
+  // per-byte `f"$b%02x"` formatting was the measured hot path of q30/q68
+  // (a String.format call per payload byte — ~µs each, dominating the
+  // whole decode stage); a table lookup is the same bytes at array-copy
+  // speed (guide §1.2: fix per-task work once the job shape is right).
+  private val HexLower = "0123456789abcdef".toCharArray
+  private val HexUpperB = "0123456789ABCDEF".getBytes("US-ASCII")
+
+  /** Lowercase hex of a byte array (value-identical to the formatted
+    * original). */
+  private def hexLower(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      out(2 * i) = HexLower(v >>> 4)
+      out(2 * i + 1) = HexLower(v & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** The US-ASCII bytes of the UPPERCASE hex encoding — the md5 input of
+    * the oracle-expressible fingerprint (DuckDB `md5(hex(bytes))`),
+    * built directly as bytes so no intermediate String is allocated. */
+  private def upperHexAscii(bytes: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      out(2 * i) = HexUpperB(v >>> 4)
+      out(2 * i + 1) = HexUpperB(v & 0xf)
+      i += 1
+    }
+    out
+  }
+
   private def be32(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
       ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
@@ -144,7 +181,10 @@ object Multimodal {
       val at = i.toInt
       val id = ascii4(bytes, at)
       val size = le32(bytes, at + 4)
-      if (id == "fmt " && i + 24 <= bytes.length) {
+      // the fmt chunk's own declared size must cover the 16 PCM fields —
+      // a short declared size with trailing bytes present would otherwise
+      // read the NEXT chunk's bytes as channels/sampleRate (ADVICE r06)
+      if (id == "fmt " && size >= 16 && i + 24 <= bytes.length) {
         chans = le16(bytes, at + 10)
         sampleRate = le32(bytes, at + 12).toInt
         byteRate = le32(bytes, at + 16)
@@ -166,6 +206,10 @@ object Multimodal {
   def wavHeader(sampleRateHz: Int, channels: Int, bitsPerSample: Int, nSamples: Long): Array[Byte] = {
     val blockAlign = channels * bitsPerSample / 8
     val dataSize = nSamples * blockAlign
+    // the RIFF size fields are 32-bit: an oversized payload must fail
+    // loudly, not silently truncate into a corrupt header (ADVICE r06)
+    require(dataSize >= 0 && dataSize <= 0xFFFFFFFFL - 36,
+      s"WAV data size $dataSize exceeds the 32-bit RIFF size field")
     val byteRate = sampleRateHz.toLong * blockAlign
     val out = java.nio.ByteBuffer.allocate(44)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -238,12 +282,9 @@ object Multimodal {
           val bytes = if (m.bytes == null) Array.empty[Byte] else m.bytes
           val meta = decode(m.modality, bytes)
           md5.reset()
-          val hex = md5.digest(bytes).map(b => f"${b & 0xff}%02x").mkString
+          val hex = hexLower(md5.digest(bytes))
           md5.reset()
-          val hexFp = md5
-            .digest(bytes.map(b => f"${b & 0xff}%02X").mkString
-              .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-            .map(b => f"${b & 0xff}%02x").mkString
+          val hexFp = hexLower(md5.digest(upperHexAscii(bytes)))
           MediaFeatures(m.id, m.modality, bytes.length.toLong,
             Hashing.hash64(bytes.length.toLong, bytes.take(8).map(_.toLong).sum),
             hex, hexFp, meta.width, meta.height, meta.durationMs,

@@ -124,10 +124,19 @@ object SimilaritySearch {
       ds.flatMap { r =>
         bucketKeysOf(quantized(r.vec), signsB.value, bands).map(k => (k, r.id))
       }.toDF("bucket", idName)
-    val cKeys = keyed(corpus, "cid")
+    // r07: corpus bucket keys feed TWO consumers (the size histogram and
+    // the bucket join) — localCheckpoint the ids-only key table so the
+    // signature pass (planes×dims integer dots per row) runs once; and
+    // when the query set IS the corpus (the near-dup dedup path, q40),
+    // the query keys are the same table relabeled instead of a third
+    // signature pass. Values are unchanged by construction.
+    val cKeys = keyed(corpus, "cid").localCheckpoint()
     val sizes = cKeys.groupBy("bucket").agg(count(lit(1)).as("sz"))
     val eligible = sizes.where(col("sz") <= maxBucketSize).select("bucket")
-    val candIds = keyed(queries, "qid")
+    val qKeys =
+      if (queries eq corpus) cKeys.select(col("bucket"), col("cid").as("qid"))
+      else keyed(queries, "qid")
+    val candIds = qKeys
       .join(cKeys.join(eligible, "bucket"), "bucket")
       .where(col("qid") =!= col("cid"))
       .select("qid", "cid")
@@ -225,7 +234,11 @@ object SimilaritySearch {
       numCentroids: Int = DefaultNumCentroids,
       iterations: Int = DefaultTrainIterations): Array[(Long, Array[Long])] = {
     import spark.implicits._
+    // r07: the quantized corpus is consumed once per Lloyd iteration plus
+    // the seed collect — persist it so quantization + encoder decode run
+    // once instead of (iterations + 1) times; released before returning.
     val qcorpus = corpus.map(r => (r.id, quantized(r.vec)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = qcorpus.orderBy(col("_1")).limit(numCentroids)
       .collect().sortBy(_._1)
     var cents: Array[(Long, Array[Long])] =
@@ -262,6 +275,7 @@ object SimilaritySearch {
       centB.destroy()
       it += 1
     }
+    qcorpus.unpersist(blocking = false)
     cents
   }
 

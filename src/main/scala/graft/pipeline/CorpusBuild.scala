@@ -41,19 +41,17 @@ object CorpusBuild {
     * 8 = digit-heavy. Exact integer char-class algebra; the q69 oracle
     * re-derives the identical battery in SQL. */
   private def withReasons(docs: DataFrame): DataFrame =
+    // r07: one codegen'd byte pass (graft_charclass_counts) instead of the
+    // four per-counter regexp_replace rewrites — four full transient copies
+    // of every document at 100 TB just to count characters (VERDICT r06
+    // #5/#6; value equivalence asserted in GraftExpressionsSpec)
     docs
-      .withColumn("ellipsis_ct",
-        expr("CAST((length(text) - length(regexp_replace(text, '\\\\.\\\\.\\\\.', ''))) div 3 AS BIGINT)"))
-      .withColumn("alpha_ct",
-        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long"))
-      .withColumn("digit_ct",
-        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long"))
+      .withColumn("cc", expr("graft_charclass_counts(text)"))
       .withColumn("reasons",
-        when(col("text").contains("{") || col("text").contains("}"), 1L)
-          .otherwise(0L) +
-          when(lower(col("text")).contains("javascript"), 2L).otherwise(0L) +
-          when(col("ellipsis_ct") > 2, 4L).otherwise(0L) +
-          when(col("digit_ct") * 2 > col("alpha_ct"), 8L).otherwise(0L))
+        col("cc.has_brace") +
+          col("cc.has_js") * 2L +
+          when(col("cc.ellipsis_ct") > 2, 4L).otherwise(0L) +
+          when(col("cc.digit_ct") * 2 > col("cc.alpha_ct"), 8L).otherwise(0L))
 
   /** Run every stage against a (doc_id, source, text) corpus. Returns the
     * packed table (doc_id, shard, n_tokens, start_tok, pack_id,
@@ -139,7 +137,12 @@ object CorpusBuild {
       val per = survivors.groupBy("source")
         .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"))
       val tot = per.agg(sum("tokens").as("tt"), count(lit(1)).as("ns")).head()
-      val cap = tot.getLong(0) / tot.getLong(1)
+      // a fully-rejected corpus yields a null sum / zero source count —
+      // commit a cap=0 mixture instead of NPE-ing the last stage after
+      // five stages already committed (ADVICE r06)
+      val cap =
+        if (tot.isNullAt(0) || tot.getLong(1) == 0L) 0L
+        else tot.getLong(0) / tot.getLong(1)
       per.select(col("source"), col("docs"), col("tokens"),
         lit(cap).as("cap_tokens"),
         least(col("tokens"), lit(cap)).as("sampled_tokens"))

@@ -50,9 +50,18 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val manifest =
       s"""{"stage":"$stage","rows":$totalRows,"numFiles":${perFile.length},""" +
         s""""elapsedMs":$elapsedMs,"partitions":$filesJson}"""
-    val out = fs.create(manifestPath(stage), true)
+    // atomic commit: write to a temp name, then rename — a kill between
+    // create and close must not leave a truncated _MANIFEST.json that
+    // `exists()` treats as committed (the class contract: the manifest is
+    // written LAST and appears atomically; VERDICT r06 #4)
+    val tmp = new Path(stageDir(stage), "_MANIFEST.json.tmp")
+    val out = fs.create(tmp, true)
     try out.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(manifestPath(stage))) fs.delete(manifestPath(stage), false)
+    if (!fs.rename(tmp, manifestPath(stage)))
+      throw new java.io.IOException(
+        s"could not commit manifest for stage $stage (rename failed)")
     reread
   }
 

@@ -75,6 +75,34 @@ class GraftExpressionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("graft_charclass_counts equals the regex gate battery (r07)") {
+    import spark.implicits._
+    // edge inputs: ellipsis runs (overlap semantics: '....' is ONE match,
+    // '......' is two), unicode (multi-byte chars must not perturb ASCII
+    // counts), braces, case-folded 'JavaScript', digit-heavy, empty
+    val inputs = Seq(
+      "plain text with... some...... dots....",
+      "héllo wörld — ümlaut ALPHA 123 {code}",
+      "No JAVASCRIPT here? JavaScripT!",
+      "0123456789 and ...", "...", "....", "..", "",
+      "ja vascript javascrip javascriptX",
+      (1 to 300).map(i => ('0' + i % 75).toChar).mkString)
+    val df = inputs.toDF("text")
+    val viaExpr = df.selectExpr("graft_charclass_counts(text) AS cc")
+      .selectExpr("cc.ellipsis_ct", "cc.upper_ct", "cc.alpha_ct",
+        "cc.digit_ct", "cc.has_brace", "cc.has_js")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val viaRegex = df.selectExpr(
+      "CAST((length(text) - length(regexp_replace(text, '\\\\.\\\\.\\\\.', ''))) div 3 AS BIGINT)",
+      "CAST(length(regexp_replace(text, '[^A-Z]', '')) AS BIGINT)",
+      "CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS BIGINT)",
+      "CAST(length(regexp_replace(text, '[^0-9]', '')) AS BIGINT)",
+      "CAST(CASE WHEN contains(text, '{') OR contains(text, '}') THEN 1 ELSE 0 END AS BIGINT)",
+      "CAST(CASE WHEN contains(lower(text), 'javascript') THEN 1 ELSE 0 END AS BIGINT)")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(viaExpr == viaRegex)
+  }
+
   test("expressions stay inside WholeStageCodegen") {
     // a LocalTableScan short-circuits codegen, so drive through range()
     val plan = spark.range(10)

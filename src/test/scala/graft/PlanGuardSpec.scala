@@ -309,6 +309,31 @@ class PlanGuardSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "q69 no longer reads the committed packed snapshot")
   }
 
+  // ---- round-7 pins: optimization-round shapes
+
+  test("q66's gate counters come from the one-pass native expression (r07)") {
+    // the quality gate must count char classes in ONE codegen'd byte pass
+    // (graft_charclass_counts) — a regexp_replace here means the gate went
+    // back to building four full rewritten copies of every document
+    val p = sparkPlanOf("q66_quality_gate").toString
+    assert(p.contains("graft_charclass_counts"),
+      "q66 no longer uses the native char-class counter expression")
+    assert(!p.contains("regexp_replace"),
+      "q66 regrew a regexp_replace counter — the four-copies-per-document " +
+        "trap the native expression exists to avoid")
+  }
+
+  test("q58's SNM histogram derives from the exact histogram (one regex pass, r07)") {
+    // the prefix-family sizes are a rollup of the exact-key sizes; a
+    // second scan-level regexp_replace means the derivation regressed to
+    // two full normalization passes over every document
+    val p = sparkPlanOf("q58_blocking_audit").toString
+    val regexCount = raw"regexp_replace\(lower".r.findAllIn(p).size
+    assert(regexCount <= 2, // one per scan-subtree occurrence pre-AQE-reuse
+      s"q58 plans $regexCount normalization regex passes — the SNM family " +
+        "must derive from the exact histogram, not re-normalize the corpus")
+  }
+
   test("q63's final stage joins only cluster-sized inputs, never pairs again") {
     // after CC the cluster assignment is materialized; the final plan may
     // join docs⋈comp (and nothing else) — a join keyed on the fingerprint
