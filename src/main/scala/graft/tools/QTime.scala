@@ -2,41 +2,37 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Time individual catalog queries under the Bench catalog session
-  * (same configs: Kryo, AQE on, 3x shuffle partitions, vectored parquet
-  * IO off), printing every pass — the per-query iteration loop Bench's
-  * min-of-2 summary is too coarse for. Usage:
-  *   SPARK_GRAFT_SF_DIR=... runMain graft.tools.QTime q53_pagerank [q54_...] [passes]
-  * A trailing integer argument sets the pass count (default 3).
-  */
+/** Per-query repeat timer under the EXACT bench catalog session shape
+  * (local[32], 96 shuffle partitions, AQE on, Kryo, vectored IO off):
+  *   runMain graft.tools.QTime <q1,q2,...> [passes] [sfDir]
+  * Prints each pass and the min — the bench's min-of-k estimator with
+  * more k, for isolating a query's warm floor from window noise. */
 object QTime {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val (names, passes) = args.lastOption.flatMap(_.toIntOption) match {
-      case Some(n) => (args.dropRight(1).toSeq, n)
-      case None => (args.toSeq, 3)
-    }
+    val names = args.headOption.getOrElse("q53_pagerank").split(",").toSeq
+    val passes = args.lift(1).getOrElse("4").toInt
+    val dir = args.lift(2).getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.expressions.GraftExtensions)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-      .appName("graft-qtime")
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", (3 * cpus).toString)
-      .config("spark.default.parallelism", (3 * cpus).toString)
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "96")
+      .config("spark.default.parallelism", "96")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.hadoop.parquet.hadoop.vectored.io.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (name <- names) {
-      val q = graft.Queries.all.getOrElse(name,
-        sys.error(s"unknown query $name; known: ${graft.Queries.all.keys.toSeq.sorted.mkString(", ")}"))
-      for (p <- 1 to passes) {
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val ts = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        val n = q(spark, sfDir).count()
-        println(f"[qtime] $name pass $p: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
       }
+      println(f"[qtime] $name%-28s min ${ts.min}%6.3f  " +
+        ts.map(t => f"$t%5.3f").mkString("[", ",", "]"))
     }
     spark.stop()
   }

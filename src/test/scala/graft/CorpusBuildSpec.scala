@@ -27,6 +27,28 @@ class CorpusBuildSpec extends AnyFunSuite with SparkSessionTestWrapper {
         r.getLong(4), r.getLong(5)))
       .sortBy(_._1)
 
+  test("manifest commit is atomic: a tmp-only manifest reads as uncommitted (r07)") {
+    // VERDICT r06 #4: the commit protocol's contract is "manifest written
+    // LAST, appears atomically". Simulate the torn-commit window the old
+    // create-then-write path could leave (kill between create and close):
+    // data files complete, final manifest absent, only a TRUNCATED tmp.
+    val root = tmpDir("atomic_manifest")
+    val store = new SnapshotStore(spark, root)
+    var computes = 0
+    def frame = { computes += 1; spark.range(5).toDF("id") }
+    store.getOrCreate("s")(frame)
+    assert(computes == 1 && store.exists("s"))
+    val stageDir = java.nio.file.Paths.get(root, "s")
+    Files.delete(stageDir.resolve("_MANIFEST.json"))
+    Files.writeString(stageDir.resolve("_MANIFEST.json.tmp"), """{"stage":"s","ro""")
+    assert(!store.exists("s"), "a tmp-only manifest must read as uncommitted")
+    val replayed = store.getOrCreate("s")(frame)
+    assert(computes == 2, "the stage must recompute after a torn commit")
+    assert(replayed.count() == 5)
+    assert(store.manifest("s").exists(m => m.startsWith("{") && m.endsWith("}")),
+      "the recommitted manifest must be complete JSON")
+  }
+
   test("full run commits every stage; output respects the stage contracts") {
     val out = tmpDir("corpus-build-")
     val store = new SnapshotStore(spark, out)
