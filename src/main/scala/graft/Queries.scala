@@ -499,14 +499,11 @@ object Queries {
     import s.implicits._
     // The shingle table feeds THREE consumers (band-key generation + both
     // payload-join sides); recomputing the scan→split→shingle chain 3× was
-    // ~half of q25's cost (VERDICT r02). Materialize it ONCE to
-    // session-local parquet — the idiomatic intermediate-table checkpoint
-    // at scale, and deterministic (no cached blocks to outlive the query,
-    // unlike persist() whose release can't be tied to a lazy result).
-    val shDir = graft.util.Scratch.dir("q25_sh")
-    shingleDocs(s, d).toDF("doc_id", "sh")
-      .write.mode("overwrite").parquet(shDir)
-    val docs = s.read.parquet(shDir)
+    // ~half of q25's cost (VERDICT r02). Materialize it ONCE — r07 moves
+    // the materialization from session-local parquet to localCheckpoint
+    // (the skim/fps-family idiom): same lineage truncation, no disk
+    // write+read roundtrip of the shingle arrays inside the timed query.
+    val docs = shingleDocs(s, d).toDF("doc_id", "sh").localCheckpoint()
     // r07: the band-entry table feeds TWO consumers inside candidatePairs
     // (the block-size histogram and the eligibility join) — localCheckpoint
     // it so the MinHash signature pass (20 affine perms + an md5-family
@@ -1725,30 +1722,40 @@ object Queries {
       2L * graft.util.ParquetMeta.rowCount(s, s"$d/lineitem.parquet")
     val hp = graft.operators.IterativeLoop.roundPartitioner(
       nDirectedEdges, s.sparkContext.defaultParallelism, rowsPerTask = 32768L)
-    // Pair dedup is fused into the ONE src-hash shuffle: duplicates of
-    // an ordered pair always share a src partition, so a per-partition
-    // hash-set distinct after partitionBy replaces a whole extra
-    // distinct shuffle of the edge table (map-side distinct after
-    // co-partition; set size = partition volume, the same bound as the
-    // loop's rank maps).
-    val edges = pairs.as[(Long, Long)].rdd
+    // Pair dedup, degree counting and link building are FUSED into one
+    // buffered pass over the ONE src-hash shuffle (r07; was three
+    // partition-local passes — dedup, deg reduceByKey, links zip — each
+    // re-reading the shuffle output or an intermediate): duplicates of an
+    // ordered pair always share a src partition, so a per-partition
+    // hash-set dedups while a local map accumulates degrees, and the
+    // links (src -> (dst, deg)) emit straight from the buffer. The output
+    // keeps src as the key, so preservesPartitioning's hp claim is honest
+    // (same discipline IterativeLoopSpec pins).
+    val links = pairs.as[(Long, Long)].rdd
       .flatMap { case (o, p) => Iterator((o, p), (p, o)) }
       .partitionBy(hp)
       .mapPartitions({ it =>
         val seen = new java.util.HashSet[(Long, Long)]()
-        it.filter(e => seen.add(e))
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        val degM = new java.util.HashMap[Long, Long]()
+        it.foreach { e =>
+          if (seen.add(e)) { buf += e; degM.merge(e._1, 1L, _ + _) }
+        }
+        buf.iterator.map { case (s, d2) => (s, (d2, degM.get(s).longValue())) }
       }, preservesPartitioning = true)
-    val deg = edges.mapValues(_ => 1L).reduceByKey(hp, _ + _) // no shuffle
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    // (src, dst, deg) via the shared co-partitioned hash-map lookup join
-    // (r07) — the RDD cogroup join it replaces churned
-    // ExternalAppendOnlyMap for the same co-partitioned lookup (the
-    // measured 5-10× gap IterativeLoop exists for); deg ⊇ every edge src
-    // by construction, so the getOrDefault arm never fires semantically.
-    val links = graft.operators.IterativeLoop
-      .lookupJoin(edges, deg, hp) { (e, dm) =>
-        Iterator((e._1, e._2, dm.getOrDefault(e._1, 0L)))
-      }
+    // per-node degree table, derived partition-locally from the cached
+    // links (keys unchanged -> the hp claim stays honest)
+    val deg = links
+      .mapPartitions({ it =>
+        val m = new java.util.HashMap[Long, Long]()
+        it.foreach { case (s, (_, dg)) => m.put(s, dg) }
+        val entries = m.entrySet().iterator()
+        new Iterator[(Long, Long)] {
+          def hasNext = entries.hasNext
+          def next() = { val e = entries.next(); (e.getKey, e.getValue) }
+        }
+      }, preservesPartitioning = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     var ranks = deg.mapValues(_ => 1000000L) // hp-partitioned
     for (_ <- 1 to 5) {
@@ -1761,7 +1768,7 @@ object Queries {
       // refactor of deg/ranks must not turn into an unboxing NPE.
       val sums = graft.operators.IterativeLoop
         .lookupJoin(links, ranks, hp) { (l, rk) =>
-          Iterator((l._2, rk.getOrDefault(l._1, 0L) / l._3))
+          Iterator((l._2._1, rk.getOrDefault(l._1, 0L) / l._2._2))
         }
         .reduceByKey(hp, _ + _) // the round's ONE shuffle
       ranks = graft.operators.IterativeLoop
