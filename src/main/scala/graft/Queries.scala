@@ -637,12 +637,16 @@ object Queries {
     * clear, i.e. an exact 32-bit SimHash.) */
   private val q28: Q = (s, d) => {
     import s.implicits._
+    // r07: the simhash table feeds BOTH the probe (min-doc reference row)
+    // and the main projection — localCheckpoint it so the md5-family
+    // bit-vote pass over every token runs once instead of twice.
     val sims = t(s, d, "documents")
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .as[(Long, Seq[String])]
       .map { case (id, toks) =>
         (id, Similarity.simHash(toks.map(OracleHash.h32).toArray))
       }.toDF("doc_id", "simhash")
+      .localCheckpoint()
     val probe = sims.orderBy("doc_id").limit(1)
       .select(col("simhash").as("probe_sim"))
     sims.crossJoin(broadcast(probe))

@@ -90,19 +90,20 @@ object ConnectedComponents {
       allVertices: DataFrame, // single column "id"
       maxIterations: Int = 30,
       dedupEdges: Boolean = true): DataFrame = {
-    // Converged assignments are materialized to session-local parquet and
-    // every checkpoint released (BLOCKING) before returning: the caller
-    // gets a DataFrame with NO dependency on cached blocks — the at-scale
-    // shape (cluster assignments are an output TABLE, not a lineage
-    // hanging off O(log n) iterative rounds). Cost: one write+read of the
-    // (id, comp) pairs; callers that consume the assignment exactly once
-    // can skip it via [[assignManaged]].
+    // Converged assignments are materialized (eager localCheckpoint) and
+    // every ROUND checkpoint released (BLOCKING) before returning: the
+    // caller gets a DataFrame whose only dependency is its own
+    // materialized blocks — the lineage hanging off O(log n) iterative
+    // rounds is cut, exactly as an output table would. r07: the
+    // materialization moved from a session-scratch parquet write+read
+    // roundtrip to localCheckpoint (same truncation, no disk roundtrip —
+    // measured on q29/q40/q63's catalog paths); callers that consume the
+    // assignment exactly once can skip it via [[assignManaged]].
     val (df, release) = assignManaged(spark, edges, allVertices, maxIterations, dedupEdges)
     if (release eq NoRelease) return df // singleton fast path: no checkpoint to decouple
-    val outDir = graft.util.Scratch.unique("cc_assign")
-    df.write.mode("overwrite").parquet(outDir)
+    val out = df.localCheckpoint() // eager: materializes before the release
     release()
-    spark.read.parquet(outDir)
+    out
   }
 
   private val NoRelease: () => Unit = () => ()

@@ -67,7 +67,7 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
-  test("assignManaged matches assign, and release frees every block") {
+  test("assignManaged matches assign, and release frees every round block") {
     import spark.implicits._
     val edges = Seq(Edge(0L, 1L), Edge(1L, 2L), Edge(5L, 6L)).toDS()
     val vertices = (0L until 8L).toDF("id")
@@ -75,12 +75,23 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val (managed, release) =
       ConnectedComponents.assignManaged(spark, edges, vertices)
     val got = managed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val viaParquet = ConnectedComponents.assign(spark, edges, vertices)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == viaParquet)
     release(); release() // idempotent
-    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- preexisting
-    assert(leaked.isEmpty, s"release() left persisted RDDs: $leaked")
+    val leakedManaged = spark.sparkContext.getPersistentRDDs.keySet -- preexisting
+    assert(leakedManaged.isEmpty,
+      s"assignManaged release() left persisted RDDs: $leakedManaged")
+    // assign(): identical values; its ROUND state is released internally,
+    // and the ONLY surviving storage is the returned assignment's own
+    // eager localCheckpoint (r07 — the materialization that replaced the
+    // scratch-parquet roundtrip; the caller owns it like any
+    // localCheckpoint'd frame)
+    val viaAssign = ConnectedComponents.assign(spark, edges, vertices)
+    val gotAssign = viaAssign.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == gotAssign)
+    val leftover = spark.sparkContext.getPersistentRDDs.keySet -- preexisting
+    assert(leftover.size <= 1,
+      s"assign() left round-state blocks beyond its own checkpoint: $leftover")
+    leftover.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
   }
 
   test("dedupEdges=false is exact when input edges are unique") {
