@@ -2551,9 +2551,12 @@ object Queries {
   // copies of every document at 100 TB) are replaced by ONE codegen'd byte
   // pass — graft_charclass_counts — returning all six gate counters
   // (VERDICT r06 #5/#6; value equivalence vs the regex battery asserted in
-  // GraftExpressionsSpec, and the oracle SQL below is unchanged). The six
-  // field references share one evaluation via codegen subexpression
-  // elimination (verified in plans/r07/q66_quality_gate_after.txt).
+  // GraftExpressionsSpec, and the oracle SQL below is unchanged). The
+  // expression is evaluated ONCE per row by plan structure: Catalyst keeps
+  // the multi-referenced struct in its own `Project [... AS cc]` below the
+  // field extractions (CollapseProject refuses to duplicate a non-cheap
+  // expression) — visible at plans/r07/q66_quality_gate_after.txt line
+  // "graft_charclass_counts(text#…) AS cc#…".
   private val q66: Q = (s, d) =>
     t(s, d, "documents")
       .select(col("doc_id"), col("text"))
