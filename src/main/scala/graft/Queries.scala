@@ -688,14 +688,14 @@ object Queries {
     val pages = graft.sources.WebPagesGen.webpages(s, Q29Clusters, numPartitions = 8)
     val extracted = graft.pipeline.EntityResolution.extract(s, pages)
     // feats feeds FIVE distinct plan subtrees below (blocks, both scoring
-    // sides, CC vertices, the final url join) — materialize once to
-    // session-temp parquet so each subtree re-reads ~300 tiny rows instead
-    // of re-running generate→extract→tokenize→sketch (the q25 pattern;
-    // halves this query's wall time, no cache entries left behind)
-    val featsDir = graft.util.Scratch.dir("q29_feats")
-    graft.operators.Blocking.features(s, extracted)
-      .write.mode("overwrite").parquet(featsDir)
-    val feats = s.read.parquet(featsDir)
+    // sides, CC vertices, the final url join) — materialize once so each
+    // subtree re-reads ~300 tiny rows instead of re-running
+    // generate→extract→tokenize→sketch. r07: the materialization moved
+    // from session-temp parquet to localCheckpoint (the q25/q28 idiom) —
+    // same lineage truncation, no disk write+read roundtrip inside the
+    // timed query.
+    val feats = graft.operators.Blocking.features(s, extracted)
+      .toDF().localCheckpoint()
       .as[graft.operators.Blocking.DocFeatures]
     val blocks = graft.operators.Blocking.blockEntries(s, feats)
     val pairs =
