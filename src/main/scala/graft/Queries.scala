@@ -2483,10 +2483,14 @@ object Queries {
     * shuffle + lead() pair generation, O(w·n) output, no self-join);
     * the union is reduced by one (a_id, b_id) partial-agg shuffle. */
   private val q65: Q = (s, d) => {
+    // r07: BOTH sweeps (forward + reversed key) consume the normalized-key
+    // table — localCheckpoint it so the full-text normalization regex runs
+    // once per document instead of once per sweep.
     val docs = t(s, d, "documents")
       .select(col("doc_id"),
         expr("substring(regexp_replace(lower(text), '[^a-z0-9]', ''), 1, 20)")
           .as("nk"))
+      .localCheckpoint()
     def sweep(key: org.apache.spark.sql.Column): DataFrame = {
       val keyed = docs.select(col("doc_id"), key.as("k"))
         .withColumn("pfx", expr("substring(k, 1, 2)"))
